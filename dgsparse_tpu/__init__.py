@@ -1,0 +1,55 @@
+"""dgsparse_tpu — a TPU-native sparse kernel library for GNNs and point clouds.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+dgSPARSE-Lib (reference: /root/reference, a single-GPU CUDA library):
+
+- CSR SpMM with sum/max/min/mean reductions and full autodiff
+  (reference: src/spmm.cpp, src/cuda/spmm_cuda.cu)
+- SDDMM producing per-edge values (reference: src/sddmm/)
+- Generalized semiring SpMM, the `u_*_e_*` op grid (reference: src/gspmm-fp/)
+- Submanifold / strided 3D sparse convolution with a rulebook builder
+  (reference: src/spconv.cpp, src/cuda/sparse_mapping.cu)
+- SparseTensor/Storage CSR container with an eagerly cached CSC view
+  (reference: dgsparse/tensor.py, dgsparse/storage.py)
+- GCN / GIN / GAT modules (reference: dgsparse/nn/)
+- NEW (no reference equivalent): row-block sharded multi-chip execution via
+  jax.sharding / shard_map over a TPU mesh.
+
+Design stance: sparsity structure is planned on the host once (binning,
+padding, tiling into MXU-shaped blocks); every device step is static-shape
+gathers + dense dots + segment reductions, jitted end-to-end. Autograd is
+jax.custom_vjp instead of torch::autograd::Function.
+"""
+
+__version__ = "0.1.0"
+
+from dgsparse_tpu.core.formats import SparseTensor, Storage
+from dgsparse_tpu.core.transform import csr2csc, coo2csr, csr2coo
+from dgsparse_tpu.ops.types import ReduceOp, ComputeOp, Algorithm
+from dgsparse_tpu.ops.spmm import spmm, spmm_sum, spmm_mean, spmm_max, spmm_min
+from dgsparse_tpu.ops.sddmm import sddmm, sddmm_coo
+from dgsparse_tpu.ops.gspmm import gspmm, GSpMM_u_e, GSpMM_u
+from dgsparse_tpu.ops.edge_softmax import edge_softmax
+
+__all__ = [
+    "SparseTensor",
+    "Storage",
+    "csr2csc",
+    "coo2csr",
+    "csr2coo",
+    "ReduceOp",
+    "ComputeOp",
+    "Algorithm",
+    "spmm",
+    "spmm_sum",
+    "spmm_mean",
+    "spmm_max",
+    "spmm_min",
+    "sddmm",
+    "sddmm_coo",
+    "gspmm",
+    "GSpMM_u_e",
+    "GSpMM_u",
+    "edge_softmax",
+    "__version__",
+]

@@ -1,0 +1,344 @@
+"""CSR sparse containers: `Storage` and `SparseTensor`.
+
+Reference parity: dgsparse/storage.py and dgsparse/tensor.py — a thin CSR
+wrapper (int32 indices, fp32 values defaulting to "all ones" when
+`has_value=False`) that **eagerly caches the CSC view at construction**
+(storage.py:100,159-174) so that the SpMM backward (A^T · grad) never has to
+re-transpose. We keep that design: the CSC view (colptr, row, csr2csc
+permutation) is computed once with an argsort-based transpose
+(core/transform.py) instead of cusparseCsr2cscEx2.
+
+Both classes are registered JAX pytrees, so a SparseTensor can be passed
+straight through `jax.jit` / `shard_map` / `jax.grad` boundaries. The matrix
+shape (M, N), nnz, and `has_value` are static aux data — sparsity *structure*
+is compile-time constant; only values/features are traced.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgsparse_tpu.core import transform as T
+
+
+def _as_i32(x) -> jax.Array:
+    x = jnp.asarray(x)
+    if x.dtype not in (jnp.int32, jnp.int64):
+        raise TypeError(f"index arrays must be integer, got {x.dtype}")
+    return x.astype(jnp.int32)
+
+
+@jax.tree_util.register_pytree_node_class
+class Storage:
+    """CSR arrays + eagerly cached CSC view.
+
+    Children: rowptr, col, values?, colptr, row_csc, csr2csc perm, coo row.
+    Aux (static): (num_rows, num_cols, nnz, has_value).
+    """
+
+    def __init__(
+        self,
+        rowptr: Optional[jax.Array] = None,
+        col: Optional[jax.Array] = None,
+        values: Optional[jax.Array] = None,
+        row: Optional[jax.Array] = None,
+        sparse_sizes: Optional[Tuple[int, int]] = None,
+        _cached: Optional[tuple] = None,
+    ):
+        if col is None:
+            raise ValueError("col is required")
+        col = _as_i32(col)
+        nnz = int(col.shape[0])
+
+        if rowptr is None:
+            if row is None:
+                raise ValueError("either rowptr or row must be given")
+            row = _as_i32(row)
+            if sparse_sizes is None:
+                num_rows = int(np.asarray(jax.device_get(row)).max()) + 1 if nnz else 0
+            else:
+                num_rows = sparse_sizes[0]
+            rowptr, col, values, _ = T.coo2csr(row, col, values, num_rows)
+        else:
+            rowptr = _as_i32(rowptr)
+
+        num_rows = int(rowptr.shape[0]) - 1
+        if sparse_sizes is not None:
+            if sparse_sizes[0] != num_rows:
+                raise ValueError(
+                    f"sparse_sizes[0]={sparse_sizes[0]} != rowptr rows {num_rows}"
+                )
+            num_cols = int(sparse_sizes[1])
+        else:
+            # Reference derives N = col.max()+1 (storage.py:33-41). This is
+            # data-dependent, so it only works outside jit; pass sparse_sizes
+            # when constructing under a trace.
+            num_cols = int(np.asarray(jax.device_get(col)).max()) + 1 if nnz else 0
+
+        if values is not None:
+            values = jnp.asarray(values)
+            if values.shape[0] != nnz:
+                raise ValueError("values/col length mismatch")
+
+        self._rowptr = rowptr
+        self._col = col
+        self._values = values
+        self._num_rows = num_rows
+        self._num_cols = num_cols
+        self._nnz = nnz
+
+        if _cached is not None:
+            self._colptr, self._row_csc, self._csr2csc, self._coo_row = _cached
+        else:
+            # Eager CSC cache, mirroring reference storage.py:100.
+            colptr, row_csc, _, perm = T.csr2csc(rowptr, col, None, num_cols)
+            self._colptr = colptr
+            self._row_csc = row_csc
+            self._csr2csc = perm
+            self._coo_row = T.expand_rowptr(rowptr, nnz)
+
+    # --- reference-parity accessors (dgsparse/storage.py) ---
+    def rowptr(self) -> jax.Array:
+        return self._rowptr
+
+    def col(self) -> jax.Array:
+        return self._col
+
+    def values(self) -> Optional[jax.Array]:
+        return self._values
+
+    def colptr(self) -> jax.Array:
+        return self._colptr
+
+    def row(self) -> jax.Array:
+        """CSC row indices (paired with colptr), as used by the backward."""
+        return self._row_csc
+
+    def csr2csc(self) -> jax.Array:
+        """Permutation p with values_csc = values[p]."""
+        return self._csr2csc
+
+    # --- extras ---
+    def coo_row(self) -> jax.Array:
+        """Per-edge row ids in CSR order."""
+        return self._coo_row
+
+    def degrees(self) -> jax.Array:
+        return T.row_degrees(self._rowptr)
+
+    @property
+    def num_rows(self) -> int:
+        return self._num_rows
+
+    @property
+    def num_cols(self) -> int:
+        return self._num_cols
+
+    @property
+    def nnz(self) -> int:
+        return self._nnz
+
+    def sparse_sizes(self) -> Tuple[int, int]:
+        return (self._num_rows, self._num_cols)
+
+    # --- pytree protocol ---
+    def tree_flatten(self):
+        children = (
+            self._rowptr,
+            self._col,
+            self._values,
+            self._colptr,
+            self._row_csc,
+            self._csr2csc,
+            self._coo_row,
+        )
+        aux = (self._num_rows, self._num_cols, self._nnz)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (
+            obj._rowptr,
+            obj._col,
+            obj._values,
+            obj._colptr,
+            obj._row_csc,
+            obj._csr2csc,
+            obj._coo_row,
+        ) = children
+        obj._num_rows, obj._num_cols, obj._nnz = aux
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class SparseTensor:
+    """CSR sparse matrix handle (reference: dgsparse/tensor.py:7-42)."""
+
+    def __init__(
+        self,
+        row: Optional[jax.Array] = None,
+        rowptr: Optional[jax.Array] = None,
+        col: Optional[jax.Array] = None,
+        values: Optional[jax.Array] = None,
+        has_value: bool = False,
+        sparse_sizes: Optional[Tuple[int, int]] = None,
+    ):
+        self.storage = Storage(
+            rowptr=rowptr,
+            col=col,
+            values=values if has_value else values,
+            row=row,
+            sparse_sizes=sparse_sizes,
+        )
+        self.has_value = bool(has_value)
+
+    # --- constructors ---
+    @classmethod
+    def from_csr(
+        cls,
+        rowptr,
+        col,
+        values=None,
+        sparse_sizes: Optional[Tuple[int, int]] = None,
+    ) -> "SparseTensor":
+        return cls(
+            rowptr=rowptr,
+            col=col,
+            values=values,
+            has_value=values is not None,
+            sparse_sizes=sparse_sizes,
+        )
+
+    @classmethod
+    def from_edge_index(
+        cls,
+        edge_index,
+        edge_attr=None,
+        sparse_sizes: Optional[Tuple[int, int]] = None,
+    ) -> "SparseTensor":
+        """Build from a [2, nnz] edge_index (row 0 = dst/row, row 1 = src/col)."""
+        edge_index = jnp.asarray(edge_index)
+        return cls(
+            row=edge_index[0],
+            col=edge_index[1],
+            values=edge_attr,
+            has_value=edge_attr is not None,
+            sparse_sizes=sparse_sizes,
+        )
+
+    @classmethod
+    def from_scipy(cls, mat) -> "SparseTensor":
+        csr = mat.tocsr()
+        csr.sort_indices()
+        return cls.from_csr(
+            jnp.asarray(csr.indptr, jnp.int32),
+            jnp.asarray(csr.indices, jnp.int32),
+            jnp.asarray(csr.data, jnp.float32),
+            sparse_sizes=(int(csr.shape[0]), int(csr.shape[1])),
+        )
+
+    @classmethod
+    def from_dense(cls, mat) -> "SparseTensor":
+        mat = np.asarray(jax.device_get(mat))
+        row, col = np.nonzero(mat)
+        order = np.lexsort((col, row))
+        row, col = row[order], col[order]
+        rowptr = np.zeros(mat.shape[0] + 1, np.int32)
+        np.add.at(rowptr, row + 1, 1)
+        rowptr = np.cumsum(rowptr).astype(np.int32)
+        return cls.from_csr(
+            jnp.asarray(rowptr),
+            jnp.asarray(col, jnp.int32),
+            jnp.asarray(mat[row, col], jnp.float32),
+            sparse_sizes=(int(mat.shape[0]), int(mat.shape[1])),
+        )
+
+    # --- views ---
+    def to_dense(self) -> jax.Array:
+        m, n = self.sparse_sizes()
+        vals = self.values_or_ones()
+        out = jnp.zeros((m, n), vals.dtype)
+        return out.at[self.storage.coo_row(), self.storage.col()].add(vals)
+
+    def values_or_ones(self) -> jax.Array:
+        """Explicit values, or implicit all-ones (reference
+        __guard_load_default_one, include/cuda/cuda_util.cuh:139-146)."""
+        v = self.storage.values()
+        if self.has_value and v is not None:
+            return v
+        return jnp.ones((self.nnz,), jnp.float32)
+
+    def set_values(self, values: Optional[jax.Array]) -> "SparseTensor":
+        """Return a new SparseTensor sharing structure with new values."""
+        obj = SparseTensor.__new__(SparseTensor)
+        st = Storage.__new__(Storage)
+        src = self.storage
+        st._rowptr, st._col = src._rowptr, src._col
+        st._values = values
+        st._colptr, st._row_csc = src._colptr, src._row_csc
+        st._csr2csc, st._coo_row = src._csr2csc, src._coo_row
+        st._num_rows, st._num_cols, st._nnz = (
+            src._num_rows,
+            src._num_cols,
+            src._nnz,
+        )
+        obj.storage = st
+        obj.has_value = values is not None
+        return obj
+
+    def t(self) -> "SparseTensor":
+        """Transpose, reusing the cached CSC view (no re-sort)."""
+        src = self.storage
+        vals = None
+        if self.has_value and src._values is not None:
+            vals = src._values[src._csr2csc]
+        obj = SparseTensor.__new__(SparseTensor)
+        st = Storage.__new__(Storage)
+        st._rowptr, st._col = src._colptr, src._row_csc
+        st._values = vals
+        # CSC of the transpose is the original CSR; the inverse permutation
+        # maps transposed-order values back to original order.
+        inv = jnp.zeros_like(src._csr2csc).at[src._csr2csc].set(
+            jnp.arange(src._nnz, dtype=jnp.int32)
+        )
+        st._colptr, st._row_csc = src._rowptr, src._col
+        st._csr2csc = inv
+        st._coo_row = T.expand_rowptr(src._colptr, src._nnz)
+        st._num_rows, st._num_cols = src._num_cols, src._num_rows
+        st._nnz = src._nnz
+        obj.storage = st
+        obj.has_value = self.has_value
+        return obj
+
+    # --- shape ---
+    def sparse_sizes(self) -> Tuple[int, int]:
+        return self.storage.sparse_sizes()
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return self.storage.sparse_sizes()
+
+    @property
+    def nnz(self) -> int:
+        return self.storage.nnz
+
+    def __repr__(self) -> str:
+        m, n = self.sparse_sizes()
+        return (
+            f"SparseTensor(shape=({m}, {n}), nnz={self.nnz}, "
+            f"has_value={self.has_value})"
+        )
+
+    # --- pytree protocol ---
+    def tree_flatten(self):
+        return (self.storage,), (self.has_value,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.storage = children[0]
+        obj.has_value = aux[0]
+        return obj

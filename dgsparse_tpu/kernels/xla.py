@@ -1,0 +1,146 @@
+"""Pure-XLA sparse kernels: gather + segment reductions.
+
+These are (a) the always-available fallback on any backend, (b) the
+correctness oracle the Pallas kernels are tested against, and (c) genuinely
+fast on TPU for small/medium graphs because XLA fuses the gather, the
+multiply, and the scatter-add.
+
+Semantics match the reference CUDA kernels exactly:
+- empty rows produce 0 for every reduction
+  (include/cuda/spmm_cuda.cuh:46-48),
+- MAX/MIN track the *first* strictly-improving edge as the arg-residual
+  (include/cuda/spmm_cuda.cuh:38-41: update on strict `<`/`>`),
+- MEAN divides by the row degree (include/cuda/spmm_cuda.cuh:43-45),
+- missing values mean implicit 1.0 (include/cuda/cuda_util.cuh:139-146),
+- semiring combine is compute(edge, feat) with SUB = feat - edge and
+  DIV = feat / edge (include/gspmm.h:67-91).
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dgsparse_tpu.ops.types import ComputeOp, ReduceOp
+
+
+def combine(compute: ComputeOp, edge_vals: jax.Array, feats: jax.Array) -> jax.Array:
+    """Semiring combine; edge_vals is [nnz] (broadcast against [nnz, F])."""
+    e = edge_vals[:, None]
+    if compute == ComputeOp.ADD:
+        return feats + e
+    if compute == ComputeOp.SUB:
+        return feats - e
+    if compute == ComputeOp.MUL:
+        return feats * e
+    if compute == ComputeOp.DIV:
+        return feats / e
+    raise ValueError(compute)
+
+
+def segment_reduce(
+    contrib: jax.Array,
+    seg_ids: jax.Array,
+    num_segments: int,
+    reduce: ReduceOp,
+    degrees: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Reduce per-edge contributions [nnz, F] into [num_segments, F].
+
+    Returns (out, arg_edge) where arg_edge is the int32 winning-edge index per
+    output element for MAX/MIN (sentinel = nnz for empty/never-won), else
+    None. Empty segments yield 0.
+    """
+    nnz = contrib.shape[0]
+    if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+        out = jax.ops.segment_sum(contrib, seg_ids, num_segments=num_segments)
+        if reduce == ReduceOp.MEAN:
+            if degrees is None:
+                degrees = jnp.bincount(seg_ids, length=num_segments)
+            out = out / jnp.maximum(degrees, 1).astype(out.dtype)[:, None]
+        return out, None
+
+    if reduce == ReduceOp.MAX:
+        out = jax.ops.segment_max(contrib, seg_ids, num_segments=num_segments)
+    else:
+        out = jax.ops.segment_min(contrib, seg_ids, num_segments=num_segments)
+
+    # Winning edge: the first edge attaining the extremum (reference updates
+    # the arg index only on strict improvement, so ties keep the earliest).
+    is_win = contrib == out[seg_ids]
+    eids = jnp.arange(nnz, dtype=jnp.int32)[:, None]
+    arg_edge = jax.ops.segment_min(
+        jnp.where(is_win, eids, jnp.int32(nnz)),
+        seg_ids,
+        num_segments=num_segments,
+    )
+    # Empty segments: ±inf identity -> 0, matching the reference.
+    out = jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
+    return out, arg_edge
+
+
+def spmm_forward(
+    coo_row: jax.Array,
+    col: jax.Array,
+    values: Optional[jax.Array],
+    dense: jax.Array,
+    num_rows: int,
+    reduce: ReduceOp,
+    degrees: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """CSR SpMM: out[m] = reduce_{e=(m,c)} values[e] * dense[c].
+
+    Reference: csrspmm_seqreduce_rowbalance_kernel
+    (include/cuda/spmm_cuda.cuh:10-55).
+    """
+    gathered = jnp.take(dense, col, axis=0)
+    if values is not None:
+        gathered = gathered * values[:, None].astype(gathered.dtype)
+    return segment_reduce(gathered, coo_row, num_rows, reduce, degrees)
+
+
+def sddmm(
+    coo_row: jax.Array,
+    col: jax.Array,
+    d1: jax.Array,
+    d2: jax.Array,
+    reduce: ReduceOp = ReduceOp.SUM,
+    degrees: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-edge dot products: out[e] = dot(d1[row_e], d2[col_e]).
+
+    With reduce=MEAN the dot is divided by the row degree — the exact
+    behaviour the SpMM-mean backward needs (src/cuda/spmm_cuda.cu:331-361).
+    Reference: sddmmCSR2Scale/sddmmCSR1Scale
+    (include/cuda/sddmm_cuda.cuh:222-401).
+    """
+    out = jnp.einsum(
+        "ef,ef->e", jnp.take(d1, coo_row, axis=0), jnp.take(d2, col, axis=0)
+    )
+    if reduce == ReduceOp.MEAN:
+        if degrees is None:
+            raise ValueError("degrees required for MEAN sddmm")
+        deg = jnp.take(jnp.maximum(degrees, 1).astype(out.dtype), coo_row)
+        out = out / deg
+    return out
+
+
+def gspmm_forward(
+    coo_row: jax.Array,
+    col: jax.Array,
+    values: Optional[jax.Array],
+    dense: jax.Array,
+    num_rows: int,
+    reduce: ReduceOp,
+    compute: ComputeOp,
+    degrees: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Generalized semiring SpMM (reference: src/gspmm-fp/gspmm.cu).
+
+    out[m] = reduce_{e=(m,c)} compute(values[e], dense[c]); values=None means
+    copy_u (no combine).
+    """
+    gathered = jnp.take(dense, col, axis=0)
+    if values is not None:
+        gathered = combine(compute, values.astype(gathered.dtype), gathered)
+    return segment_reduce(gathered, coo_row, num_rows, reduce, degrees)

@@ -1,0 +1,190 @@
+"""Generalized semiring SpMM: reduce_{e=(m,c)} compute(edge[e], feat[c]).
+
+Reference parity: the gspmm-fp extension (src/gspmm-fp/gspmm.cc:27-44,
+gspmm.cu) and the DGL-style `u_<compute>_e_<reduce>` / `copy_u_<reduce>` op
+grid it exposes (example/gspmm-fp/util.py:17-110). COMPUTE semantics follow
+include/gspmm.h:67-91: compute(a=edge, b=feat) with SUB = b-a and DIV = b/a.
+
+The reference's k<32 double-launch bug (src/gspmm-fp/gspmm.cu:179-208, both
+the simple and cache kernels run and double-write the output) is *not*
+replicated.
+
+Full custom VJP for every (compute × reduce) pair:
+  SUM/MEAN:  d_edge[e] = sum_f g'[m,f] * d(compute)/d(edge),
+             d_feat[c] = col-scatter of g' * d(compute)/d(feat)
+  MAX/MIN:   gradient flows only through the winning edge per output element.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgsparse_tpu.core.formats import SparseTensor
+from dgsparse_tpu.core.transform import expand_rowptr
+from dgsparse_tpu.kernels import xla as kx
+from dgsparse_tpu.ops.types import ComputeOp, ReduceOp, as_compute, as_reduce
+
+_FLOAT0 = jax.dtypes.float0
+
+
+def _int_zero(x):
+    return np.zeros(x.shape, dtype=_FLOAT0)
+
+
+def _dcompute(compute: ComputeOp, edge, feat):
+    """Partials of compute(edge, feat) w.r.t. (edge, feat). `edge` broadcasts
+    against feat's feature dim."""
+    if compute == ComputeOp.ADD:
+        return jnp.ones_like(feat), jnp.ones_like(feat)
+    if compute == ComputeOp.SUB:  # feat - edge
+        return -jnp.ones_like(feat), jnp.ones_like(feat)
+    if compute == ComputeOp.MUL:
+        return feat, jnp.broadcast_to(edge, feat.shape)
+    if compute == ComputeOp.DIV:  # feat / edge
+        return -feat / (edge * edge), jnp.broadcast_to(1.0 / edge, feat.shape)
+    raise ValueError(compute)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _gspmm(reduce: ReduceOp, compute: ComputeOp, has_value: bool, idx,
+           values, dense):
+    out, _ = _forward(reduce, compute, has_value, idx, values, dense)
+    return out
+
+
+def _forward(reduce, compute, has_value, idx, values, dense):
+    rowptr, col, coo_row, _, _, _ = idx
+    num_rows = rowptr.shape[0] - 1
+    degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
+    vals = values if has_value else None
+    return kx.gspmm_forward(coo_row, col, vals, dense, num_rows, reduce,
+                            compute, degrees)
+
+
+def _gspmm_fwd(reduce, compute, has_value, idx, values, dense):
+    out, arg_edge = _forward(reduce, compute, has_value, idx, values, dense)
+    return out, (idx, values, dense, arg_edge)
+
+
+def _gspmm_bwd(reduce, compute, has_value, residuals, g):
+    idx, values, dense, arg_edge = residuals
+    rowptr, col, coo_row, colptr, row_csc, perm = idx
+    nnz = col.shape[0]
+
+    if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+        if reduce == ReduceOp.MEAN:
+            deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1).astype(g.dtype)
+            g = g / deg[:, None]
+        feat_e = jnp.take(dense, col, axis=0)              # [nnz, F]
+        e = (values[:, None].astype(g.dtype) if has_value
+             else jnp.ones((nnz, 1), g.dtype))
+        de, df = _dcompute(compute, e, feat_e)
+        g_e = jnp.take(g, coo_row, axis=0)                 # [nnz, F]
+        if has_value:
+            d_values = jnp.sum(g_e * de, axis=-1).astype(values.dtype)
+        else:
+            d_values = jnp.zeros_like(values)
+        # Column scatter via the cached CSC view (sorted segments).
+        csc_col = expand_rowptr(colptr, nnz)
+        contrib = jnp.take(g_e * df, perm, axis=0)
+        d_dense = jax.ops.segment_sum(
+            contrib, csc_col, num_segments=dense.shape[0],
+            indices_are_sorted=True,
+        ).astype(dense.dtype)
+    else:
+        valid = arg_edge < nnz
+        safe_edge = jnp.minimum(arg_edge, nnz - 1)
+        win_col = jnp.take(col, safe_edge)                 # [M, F]
+        fcols = jnp.arange(g.shape[-1])[None, :]
+        e = (jnp.take(values, safe_edge).astype(g.dtype) if has_value
+             else jnp.ones_like(g))
+        feat_w = dense[win_col, fcols].astype(g.dtype)
+        de, df = _dcompute(compute, e, feat_w)
+        gz = jnp.where(valid, g, 0)
+        if has_value:
+            d_values = (
+                jnp.zeros((nnz,), g.dtype)
+                .at[safe_edge].add(gz * de)
+                .astype(values.dtype)
+            )
+        else:
+            d_values = jnp.zeros_like(values)
+        d_dense = (
+            jnp.zeros(dense.shape, g.dtype)
+            .at[win_col, fcols].add(gz * df)
+            .astype(dense.dtype)
+        )
+
+    return tuple(_int_zero(a) for a in idx), d_values, d_dense
+
+
+_gspmm.defvjp(_gspmm_fwd, _gspmm_bwd)
+
+
+def gspmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
+          compute="mul") -> jax.Array:
+    """Semiring SpMM over a SparseTensor. compute is ignored (copy_u) when
+    the tensor has no values."""
+    reduce, compute = as_reduce(reduce), as_compute(compute)
+    st = sparse.storage
+    idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
+           st.csr2csc())
+    values = sparse.values_or_ones()
+    return _gspmm(reduce, compute, sparse.has_value, idx, values, dense)
+
+
+def GSpMM_u_e(rowptr, colind, values, dense, reduce_op, compute_op):
+    """Reference-parity entry (src/gspmm-fp/gspmm.cc:27-35): raw CSR arrays,
+    edge values combined with node features then reduced."""
+    sp = SparseTensor.from_csr(
+        rowptr, colind, values,
+        sparse_sizes=(int(rowptr.shape[0]) - 1, int(dense.shape[0])),
+    )
+    return gspmm(sp, dense, reduce_op, compute_op)
+
+
+def GSpMM_u(rowptr, colind, dense, reduce_op):
+    """Reference-parity entry (src/gspmm-fp/gspmm.cc:36-43): copy_u + reduce."""
+    sp = SparseTensor.from_csr(
+        rowptr, colind, None,
+        sparse_sizes=(int(rowptr.shape[0]) - 1, int(dense.shape[0])),
+    )
+    return gspmm(sp, dense, reduce_op, ComputeOp.MUL)
+
+
+def _make_u_e(compute: ComputeOp, reduce: ReduceOp):
+    def op(sparse: SparseTensor, dense: jax.Array) -> jax.Array:
+        return gspmm(sparse, dense, reduce, compute)
+
+    op.__name__ = f"u_{compute.value}_e_{reduce.value}"
+    op.__doc__ = (
+        f"DGL-style op: reduce '{reduce.value}' of "
+        f"compute('{compute.value}', edge, feat) over in-edges "
+        f"(reference: example/gspmm-fp/util.py:17-110)."
+    )
+    return op
+
+
+def _make_copy_u(reduce: ReduceOp):
+    def op(sparse: SparseTensor, dense: jax.Array) -> jax.Array:
+        return gspmm(sparse.set_values(None), dense, reduce, ComputeOp.MUL)
+
+    op.__name__ = f"copy_u_{reduce.value}"
+    op.__doc__ = f"DGL-style op: reduce '{reduce.value}' of neighbor features."
+    return op
+
+
+# The full u_*_e_* grid (reference: example/gspmm-fp/util.py:17-110).
+_ops = {}
+for _c in ComputeOp:
+    for _r in ReduceOp:
+        _f = _make_u_e(_c, _r)
+        _ops[_f.__name__] = _f
+for _r in ReduceOp:
+    _f = _make_copy_u(_r)
+    _ops[_f.__name__] = _f
+globals().update(_ops)
+__all__ = ["gspmm", "GSpMM_u_e", "GSpMM_u"] + sorted(_ops)

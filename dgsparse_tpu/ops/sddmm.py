@@ -1,0 +1,94 @@
+"""SDDMM: sampled dense-dense matmul producing per-edge values.
+
+Reference parity: the standalone SDDMM library (src/sddmm/sddmm.cu:8-41,
+include/cuda/{coo,csr}sddmm_ebalance.cuh) and the torch-facing dispatchers
+(src/cuda/spmm_cuda.cu:305-382). out[e] = dot(d1[row_e], d2[col_e]), with the
+MEAN flavor dividing by the row degree (used by the SpMM-mean backward).
+
+Differentiable w.r.t. both dense operands with a custom VJP:
+  d_d1 = row-segment scatter of g[e]·d2[col_e]  (an SpMM-shaped op)
+  d_d2 = col-segment scatter of g[e]·d1[row_e]  (SpMM over the CSC view)
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgsparse_tpu.core.formats import SparseTensor
+from dgsparse_tpu.core.transform import expand_rowptr
+from dgsparse_tpu.kernels import xla as kx
+from dgsparse_tpu.ops.types import ReduceOp, as_reduce
+
+_FLOAT0 = jax.dtypes.float0
+
+
+def _int_zero(x):
+    return np.zeros(x.shape, dtype=_FLOAT0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _sddmm(reduce: ReduceOp, num_rows: int, num_cols: int, idx, d1, d2):
+    rowptr, col, coo_row, _, _, _ = idx
+    degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
+    return kx.sddmm(coo_row, col, d1, d2, reduce, degrees)
+
+
+def _sddmm_fwd(reduce, num_rows, num_cols, idx, d1, d2):
+    return _sddmm(reduce, num_rows, num_cols, idx, d1, d2), (idx, d1, d2)
+
+
+def _sddmm_bwd(reduce, num_rows, num_cols, residuals, g):
+    idx, d1, d2 = residuals
+    rowptr, col, coo_row, colptr, row_csc, perm = idx
+    nnz = col.shape[0]
+    if reduce == ReduceOp.MEAN:
+        deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1).astype(g.dtype)
+        g = g / jnp.take(deg, coo_row)
+    # d_d1[r] = sum_{e:(r,c)} g[e] * d2[c] — sorted row-segment scatter.
+    d_d1 = jax.ops.segment_sum(
+        jnp.take(d2, col, axis=0) * g[:, None],
+        coo_row,
+        num_segments=num_rows,
+        indices_are_sorted=True,
+    ).astype(d1.dtype)
+    # d_d2[c] = sum_{e:(r,c)} g[e] * d1[r] — via the cached CSC view so the
+    # scatter is sorted too.
+    csc_col = expand_rowidx = expand_rowptr(colptr, nnz)
+    g_csc = jnp.take(g, perm)
+    d_d2 = jax.ops.segment_sum(
+        jnp.take(d1, row_csc, axis=0) * g_csc[:, None],
+        csc_col,
+        num_segments=num_cols,
+        indices_are_sorted=True,
+    ).astype(d2.dtype)
+    return tuple(_int_zero(a) for a in idx), d_d1, d_d2
+
+
+_sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)
+
+
+def sddmm(sparse: SparseTensor, d1: jax.Array, d2: jax.Array,
+          reduce="sum") -> jax.Array:
+    """Per-edge dots over the sparsity pattern of `sparse`.
+
+    d1: [M, F] (rows), d2: [N, F] (cols). Returns [nnz] in CSR edge order.
+    """
+    reduce = as_reduce(reduce)
+    st = sparse.storage
+    idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
+           st.csr2csc())
+    m, n = sparse.sparse_sizes()
+    return _sddmm(reduce, m, n, idx, d1, d2)
+
+
+def sddmm_coo(row: jax.Array, col: jax.Array, d1: jax.Array,
+              d2: jax.Array) -> jax.Array:
+    """COO-order SDDMM (reference: sddmm_cuda_coo, src/sddmm/sddmm.cu:8-24).
+
+    Differentiable via JAX autodiff of the gather/einsum formulation.
+    """
+    return jnp.einsum(
+        "ef,ef->e", jnp.take(d1, row, axis=0), jnp.take(d2, col, axis=0)
+    )

@@ -1,0 +1,173 @@
+"""CSR SpMM with sum/max/min/mean reductions and full autodiff.
+
+This is the TPU-native analog of the reference's torch autograd layer
+(src/spmm.cpp:36-270) + CUDA dispatch (src/cuda/spmm_cuda.cu:14-303):
+
+- forward: out[m] = reduce_{e=(m,c)} values[e] * dense[c]
+- backward (SUM/MEAN), exactly the reference gradient structure:
+    d_values = SDDMM(grad, dense)          (src/spmm.cpp:66)
+    d_dense  = A^T · grad via the cached CSC view (src/spmm.cpp:72-74)
+- backward (MAX/MIN): masked by the saved winning-edge residual — the TPU
+  formulation of the reference's `E` argmax tensor + masked kernels
+  (src/spmm.cpp:108-134, include/cuda/spmm_cuda.cuh:400-433). Instead of an
+  [M,F] column-index tensor consumed by masked SDDMM/SpMM kernels, we save
+  the winning *edge id* per output element and scatter gradients directly.
+
+Algorithm selection (Algorithm enum) is static at trace time: it picks which
+compiled implementation runs — the XLA segment-op path or a Pallas kernel.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgsparse_tpu.core.formats import SparseTensor
+from dgsparse_tpu.core.transform import expand_rowptr
+from dgsparse_tpu.kernels import xla as kx
+from dgsparse_tpu.ops.types import Algorithm, ReduceOp, as_algorithm, as_reduce
+
+_FLOAT0 = jax.dtypes.float0
+
+
+def _int_zero(x):
+    return np.zeros(x.shape, dtype=_FLOAT0)
+
+
+def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
+                  idx, values, dense):
+    """Dispatch the forward kernel. idx = (rowptr, col, coo_row, colptr,
+    row_csc, perm)."""
+    rowptr, col, coo_row, _, _, _ = idx
+    num_rows = rowptr.shape[0] - 1
+    degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
+    vals = values if has_value else None
+
+    algorithm = _resolve_algorithm(algorithm, num_rows, dense.shape[-1],
+                                   col.shape[0], reduce)
+    if algorithm == Algorithm.XLA_SEGMENT:
+        return kx.spmm_forward(coo_row, col, vals, dense, num_rows, reduce,
+                               degrees)
+    if algorithm in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE):
+        from dgsparse_tpu.kernels import pallas_spmm as kp
+
+        return kp.spmm_forward(rowptr, col, coo_row, vals, dense, num_rows,
+                               reduce, algorithm)
+    raise ValueError(f"unknown algorithm {algorithm}")
+
+
+def _resolve_algorithm(algorithm: Algorithm, num_rows: int, feat: int,
+                       nnz: int, reduce: ReduceOp) -> Algorithm:
+    """AUTO heuristic (≈ gespmmAlgSel, src/ge-spmm/gespmm.cc:13-24), keyed on
+    feature width and problem size."""
+    if algorithm != Algorithm.AUTO:
+        return algorithm
+    return Algorithm.XLA_SEGMENT
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _spmm(reduce: ReduceOp, algorithm: Algorithm, has_value: bool, idx,
+          values, dense):
+    out, _ = _forward_impl(reduce, algorithm, has_value, idx, values, dense)
+    return out
+
+
+def _spmm_fwd(reduce, algorithm, has_value, idx, values, dense):
+    out, arg_edge = _forward_impl(reduce, algorithm, has_value, idx, values,
+                                  dense)
+    return out, (idx, values, dense, arg_edge)
+
+
+def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
+    idx, values, dense, arg_edge = residuals
+    rowptr, col, coo_row, colptr, row_csc, perm = idx
+    num_rows = rowptr.shape[0] - 1
+    nnz = col.shape[0]
+
+    if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+        if reduce == ReduceOp.MEAN:
+            deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1).astype(g.dtype)
+            g = g / deg[:, None]
+        # d_values = SDDMM(grad, dense): per-edge dot (src/spmm.cpp:66).
+        if has_value:
+            d_values = kx.sddmm(coo_row, col, g, dense).astype(values.dtype)
+        else:
+            d_values = jnp.zeros_like(values)
+        # d_dense = A^T · grad via cached CSC (src/spmm.cpp:72-74). CSC row
+        # ids are sorted, so the segment reduction is a sorted scatter.
+        csc_col = expand_rowptr(colptr, nnz)
+        contrib = jnp.take(g, row_csc, axis=0)
+        if has_value:
+            contrib = contrib * jnp.take(values, perm)[:, None].astype(g.dtype)
+        d_dense = jax.ops.segment_sum(
+            contrib, csc_col, num_segments=dense.shape[0],
+            indices_are_sorted=True,
+        ).astype(dense.dtype)
+    else:
+        # MAX/MIN: gradient flows only through the winning edge per output
+        # element (masked variants, src/spmm.cpp:127-134,183-190).
+        valid = arg_edge < nnz
+        safe_edge = jnp.minimum(arg_edge, nnz - 1)
+        win_col = jnp.take(col, safe_edge)            # [M, F]
+        fcols = jnp.arange(g.shape[-1])[None, :]
+        win_val = (jnp.take(values, safe_edge).astype(g.dtype) if has_value
+                   else jnp.ones_like(g))
+        win_feat = dense[win_col, fcols]              # dense[win_col[m,f], f]
+        gz = jnp.where(valid, g, 0)
+        if has_value:
+            d_values = (
+                jnp.zeros((nnz,), g.dtype)
+                .at[safe_edge].add(jnp.where(valid, g * win_feat, 0))
+                .astype(values.dtype)
+            )
+        else:
+            d_values = jnp.zeros_like(values)
+        d_dense = (
+            jnp.zeros(dense.shape, g.dtype)
+            .at[win_col, fcols].add(gz * win_val)
+            .astype(dense.dtype)
+        )
+
+    d_idx = tuple(_int_zero(a) for a in idx)
+    return d_idx, d_values, d_dense
+
+
+_spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
+         algorithm=Algorithm.AUTO) -> jax.Array:
+    """SpMM with a selectable reduction. Returns [M, F]."""
+    reduce = as_reduce(reduce)
+    algorithm = as_algorithm(algorithm)
+    st = sparse.storage
+    idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
+           st.csr2csc())
+    values = sparse.values_or_ones()
+    return _spmm(reduce, algorithm, sparse.has_value, idx, values, dense)
+
+
+def spmm_sum(sparse: SparseTensor, dense: jax.Array,
+             algorithm=Algorithm.AUTO) -> jax.Array:
+    """Reference parity: dgsparse/spmm.py:5-28 (spmm_sum)."""
+    return spmm(sparse, dense, ReduceOp.SUM, algorithm)
+
+
+def spmm_mean(sparse: SparseTensor, dense: jax.Array,
+              algorithm=Algorithm.AUTO) -> jax.Array:
+    """Reference parity: dgsparse/spmm.py:31-54 (spmm_mean)."""
+    return spmm(sparse, dense, ReduceOp.MEAN, algorithm)
+
+
+def spmm_max(sparse: SparseTensor, dense: jax.Array,
+             algorithm=Algorithm.AUTO) -> jax.Array:
+    """Reference parity: dgsparse/spmm.py:57-80 (spmm_max)."""
+    return spmm(sparse, dense, ReduceOp.MAX, algorithm)
+
+
+def spmm_min(sparse: SparseTensor, dense: jax.Array,
+             algorithm=Algorithm.AUTO) -> jax.Array:
+    """Reference parity: dgsparse/spmm.py:83-106 (spmm_min)."""
+    return spmm(sparse, dense, ReduceOp.MIN, algorithm)
