@@ -1,0 +1,146 @@
+"""Host-side edge-tile planner for the Pallas SpMM/SDDMM kernels.
+
+TPU design stance (SURVEY.md §7): load balance is solved at PLAN time, not
+run time. Where the reference picks between row-balance / nnz-balance CUDA
+kernels with atomics (src/cuda/spmm_cuda.cu:36-165), we bin the CSR structure
+once on the host into fixed-size edge tiles aligned to output row blocks —
+the same role the reference's 128-quantized `qkpos` scan plays for spconv
+(include/cuda/sparse_mapping.cuh:272-290). Every device step is then
+static-shape: DMA row gathers + one-hot MXU segment matmuls, no atomics.
+
+Plan layout for a CSR matrix (M rows, nnz edges), row block size R, edge
+tile size E:
+- every row block's edges are padded to a multiple of E (empty blocks get
+  one all-padding tile so their output block is still zero-initialized),
+- within a row block, edges are sorted by column (gather locality; the
+  one-hot scatter matmul is order-independent),
+- arrays (length T*E): `cols` (gather indices, padding -> 0), `eperm`
+  (position of each plan slot in the original CSR edge order, padding -> -1;
+  used to gather values and to scatter per-edge results back), `lrow`
+  (row - block_base, padding -> 0),
+- per tile (length T): `tile_rb` (owning row block, nondecreasing).
+
+A C++ implementation of the same planner (for large graphs) lives in
+native/planner.cpp; this numpy version is the reference and fallback.
+"""
+
+import dataclasses
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EdgeTilePlan:
+    cols: jax.Array       # [T*E] int32 gather index (0 for padding)
+    eperm: jax.Array      # [T*E] int32 original edge position (-1 padding)
+    lrow: jax.Array       # [T*E] int32 local row within block (0 padding)
+    tile_rb: jax.Array    # [T] int32 owning row block per tile
+    num_tiles: int
+    edge_tile: int        # E
+    row_block: int        # R
+    num_row_blocks: int
+    num_rows: int
+    num_cols: int
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.cols, self.eperm, self.lrow, self.tile_rb), (
+            self.num_tiles, self.edge_tile, self.row_block,
+            self.num_row_blocks, self.num_rows, self.num_cols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def padded_edges(self) -> int:
+        return self.num_tiles * self.edge_tile
+
+    def pad_ratio(self) -> float:
+        return self.padded_edges / max(self.nnz, 1)
+
+
+def build_edge_tile_plan(
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    num_cols: int,
+    edge_tile: int = 256,
+    row_block: int = 128,
+    sort_cols: bool = True,
+) -> EdgeTilePlan:
+    """Build the tile plan on the host (numpy)."""
+    rowptr = np.asarray(jax.device_get(rowptr))
+    col = np.asarray(jax.device_get(col))
+    m = len(rowptr) - 1
+    nnz = len(col)
+    num_rb = max(-(-m // row_block), 1)
+
+    cols_l, perm_l, lrow_l, tile_rb_l = [], [], [], []
+    coo_row = np.repeat(np.arange(m, dtype=np.int32), np.diff(rowptr))
+    for rb in range(num_rb):
+        lo = int(rowptr[min(rb * row_block, m)])
+        hi = int(rowptr[min((rb + 1) * row_block, m)])
+        e = hi - lo
+        n_tiles = max(-(-e // edge_tile), 1)
+        padded = n_tiles * edge_tile
+        c = np.zeros(padded, np.int32)
+        p = np.full(padded, -1, np.int32)
+        lr = np.zeros(padded, np.int32)
+        if e:
+            seg_cols = col[lo:hi]
+            order = np.argsort(seg_cols, kind="stable") if sort_cols \
+                else np.arange(e)
+            c[:e] = seg_cols[order]
+            p[:e] = lo + order
+            lr[:e] = coo_row[lo:hi][order] - rb * row_block
+        cols_l.append(c)
+        perm_l.append(p)
+        lrow_l.append(lr)
+        tile_rb_l.append(np.full(n_tiles, rb, np.int32))
+
+    cols = np.concatenate(cols_l)
+    eperm = np.concatenate(perm_l)
+    lrow = np.concatenate(lrow_l)
+    tile_rb = np.concatenate(tile_rb_l)
+    return EdgeTilePlan(
+        cols=jnp.asarray(cols),
+        eperm=jnp.asarray(eperm),
+        lrow=jnp.asarray(lrow),
+        tile_rb=jnp.asarray(tile_rb),
+        num_tiles=len(tile_rb),
+        edge_tile=edge_tile,
+        row_block=row_block,
+        num_row_blocks=num_rb,
+        num_rows=m,
+        num_cols=num_cols,
+        nnz=nnz,
+    )
+
+
+# Plans are keyed on the Storage object identity: sparsity structure is
+# host-static, so each SparseTensor builds its plan once (mirrors the
+# reference caching the CSC view / rulebooks once).
+_PLAN_CACHE: dict = {}
+
+
+def plan_for_storage(storage, transpose: bool = False,
+                     edge_tile: int = 256,
+                     row_block: int = 128) -> EdgeTilePlan:
+    key = (id(storage), transpose, edge_tile, row_block)
+    plan = _PLAN_CACHE.get(key)
+    if plan is None:
+        if transpose:
+            plan = build_edge_tile_plan(
+                storage.colptr(), storage.row(), storage.num_rows,
+                edge_tile, row_block)
+        else:
+            plan = build_edge_tile_plan(
+                storage.rowptr(), storage.col(), storage.num_cols,
+                edge_tile, row_block)
+        _PLAN_CACHE[key] = plan
+    return plan

@@ -1,0 +1,277 @@
+"""3D submanifold / strided sparse convolution (spconv).
+
+TPU-native redesign of the reference's fused gather-GEMM-scatter spconv
+(src/spconv.cpp, src/cuda/spconv_cuda.cu, include/cuda/spconv.cuh) and its
+GPU hash-table rulebook builder (src/cuda/sparse_mapping.cu,
+include/cuda/sparse_mapping.cuh):
+
+- The **rulebook** (which (input, output) pairs each kernel offset connects)
+  is built ONCE on the host with numpy dict/sort machinery instead of a GPU
+  open-addressing hash table — sparsity structure is static per point cloud,
+  exactly how the reference amortizes it across the network
+  (src/spconv.cpp:11-17). A C++ builder with the same layout lives in
+  native/ for large clouds.
+- The device step is static-shape: per-offset gather -> dense [E_k, C_in] x
+  [C_in, C_out] MXU matmul -> scatter-add. The center tap under
+  `separate_mid` is one plain dense matmul over all points, mirroring the
+  reference's single cuBLAS GEMM for w[0,0,0] (src/cuda/spconv_cuda.cu:44-83).
+- Like the reference's 128-quantized `qkpos` layout
+  (include/cuda/sparse_mapping.cuh:272-290), the builder also emits a
+  Q-padded concatenated (imap, omap, widx) stream for the fused Pallas
+  kernel path.
+
+Gradients: dX = scatter(imap) of g[omap] @ W^T, dW[k] = X[imap]^T @ g[omap]
+(reference: spconv_bwd_fused, src/cuda/spconv_cuda.cu:189-253), obtained here
+via JAX autodiff of the gather/scatter formulation (exact same structure).
+"""
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _triple(x) -> Tuple[int, int, int]:
+    if isinstance(x, (tuple, list)):
+        assert len(x) == 3
+        return tuple(int(v) for v in x)
+    return (int(x),) * 3
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class SpConvPlan:
+    """Static rulebook for one (coords, kernel, stride, padding) combo.
+
+    imap/omap: concatenated (input_id, output_id) pairs grouped by kernel
+    offset, each offset's segment padded to a multiple of `quant` with
+    (-1, 0) sentinels; widx gives the kernel-offset id per pair. kpos/qkpos
+    are the raw/quantized exclusive scans of per-offset pair counts
+    (reference: kpos_quantized, test/test_spconv.py:5-14).
+    """
+
+    imap: jax.Array          # [sum_nnz_q] int32, -1 = padding
+    omap: jax.Array          # [sum_nnz_q] int32
+    widx: jax.Array          # [sum_nnz_q] int32 kernel-offset id
+    knnz: tuple              # static per-offset true pair counts
+    kpos: tuple              # static exclusive scan of knnz
+    qkpos: tuple             # static exclusive scan of quantized counts
+    num_out: int
+    num_in: int
+    k_vol: int
+    separate_mid: bool       # center tap computed as a dense matmul
+    quant: int = 128
+
+    def tree_flatten(self):
+        return (self.imap, self.omap, self.widx), (
+            self.knnz, self.kpos, self.qkpos, self.num_out, self.num_in,
+            self.k_vol, self.separate_mid, self.quant)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        imap, omap, widx = children
+        knnz, kpos, qkpos, num_out, num_in, k_vol, separate_mid, quant = aux
+        return cls(imap, omap, widx, knnz, kpos, qkpos, num_out, num_in,
+                   k_vol, separate_mid, quant)
+
+
+def _encode(coords: np.ndarray, dims: np.ndarray) -> np.ndarray:
+    """Pack (b, x, y, z) int coords into a single int64 key."""
+    c = coords.astype(np.int64)
+    return ((c[:, 0] * dims[0] + c[:, 1]) * dims[1] + c[:, 2]) * dims[2] + c[:, 3]
+
+
+def build_rulebook(
+    coords: np.ndarray,
+    kernel_size=3,
+    stride=1,
+    padding=0,
+    spatial_shape: Optional[Sequence[int]] = None,
+    submanifold: Optional[bool] = None,
+    quant: int = 128,
+) -> Tuple[SpConvPlan, np.ndarray]:
+    """Host-side rulebook builder (reference: sparse_mapping,
+    src/cuda/sparse_mapping.cu:20-161).
+
+    coords: [nnz, 4] int (batch, x, y, z). Returns (plan, out_coords).
+    Submanifold (stride==1) keeps out_coords == coords and marks the center
+    tap for the dense-matmul path; strided conv generates downsampled unique
+    output coords (the reference's sort+unique, sparse_mapping.cu:66-93).
+    """
+    coords = np.asarray(coords, np.int64)
+    nnz = len(coords)
+    ks, st, pad = _triple(kernel_size), _triple(stride), _triple(padding)
+    k_vol = ks[0] * ks[1] * ks[2]
+    if submanifold is None:
+        submanifold = all(s == 1 for s in st)
+    if spatial_shape is None:
+        spatial_shape = tuple(int(coords[:, i + 1].max()) + 1 for i in range(3))
+    dims = np.array([spatial_shape[0] + max(ks) + 2,
+                     spatial_shape[1] + max(ks) + 2,
+                     spatial_shape[2] + max(ks) + 2], np.int64)
+
+    in_table = {int(k): i for i, k in enumerate(_encode(coords, dims))}
+
+    if submanifold:
+        out_coords = coords.copy()
+    else:
+        # Output coords: positions where the strided window anchored at
+        # out*stride - padding covers at least one input voxel
+        # (reference: the generic-stride expand + sort + unique path,
+        # src/cuda/sparse_mapping.cu:94-129).
+        offs = [(i, j, k) for i in range(ks[0]) for j in range(ks[1])
+                for k in range(ks[2])]
+        cand = []
+        for (oi, oj, ok) in offs:
+            v = coords[:, 1:4] + np.array(pad) - np.array([oi, oj, ok])
+            ok_mask = ((v % np.array(st)) == 0).all(1) & (v >= 0).all(1)
+            o = v[ok_mask] // np.array(st)
+            out_sp = [(spatial_shape[i] + 2 * pad[i] - ks[i]) // st[i] + 1
+                      for i in range(3)]
+            in_range = (o < np.array(out_sp)).all(1)
+            c = np.concatenate(
+                [coords[ok_mask][in_range][:, :1], o[in_range]], 1)
+            cand.append(c)
+        cand = np.concatenate(cand, 0)
+        keys = _encode(cand, dims)
+        _, first = np.unique(keys, return_index=True)
+        out_coords = cand[np.sort(first)]
+
+    out_table = {int(k): i for i, k in enumerate(_encode(out_coords, dims))}
+    num_out = len(out_coords)
+
+    mid = (k_vol - 1) // 2
+    separate_mid = bool(submanifold)
+
+    imaps, omaps, knnz = [], [], []
+    offs = [(i, j, k) for i in range(ks[0]) for j in range(ks[1])
+            for k in range(ks[2])]
+    for kp, (oi, oj, ok) in enumerate(offs):
+        if separate_mid and kp == mid:
+            knnz.append(0)
+            imaps.append(np.empty(0, np.int32))
+            omaps.append(np.empty(0, np.int32))
+            continue
+        # input coord = out*stride - padding + offset
+        inc = out_coords[:, 1:4] * np.array(st) - np.array(pad) + \
+            np.array([oi, oj, ok])
+        valid = (inc >= 0).all(1) & (inc < np.array(spatial_shape)).all(1)
+        q = np.concatenate([out_coords[:, :1], inc], 1)[valid]
+        out_ids = np.nonzero(valid)[0]
+        keys = _encode(q, dims)
+        in_ids = np.array([in_table.get(int(k), -1) for k in keys], np.int64)
+        hit = in_ids >= 0
+        imaps.append(in_ids[hit].astype(np.int32))
+        omaps.append(out_ids[hit].astype(np.int32))
+        knnz.append(int(hit.sum()))
+
+    # Quantized concatenation (reference qkpos: 128-aligned offsets so every
+    # device tile belongs to exactly one kernel offset).
+    imap_q, omap_q, widx_q = [], [], []
+    kpos, qkpos = [0], [0]
+    for kp in range(k_vol):
+        n = knnz[kp]
+        nq = -(-n // quant) * quant if n else 0
+        im = np.full(nq, -1, np.int32)
+        om = np.zeros(nq, np.int32)
+        im[:n] = imaps[kp]
+        om[:n] = omaps[kp]
+        imap_q.append(im)
+        omap_q.append(om)
+        widx_q.append(np.full(nq, kp, np.int32))
+        kpos.append(kpos[-1] + n)
+        qkpos.append(qkpos[-1] + nq)
+
+    plan = SpConvPlan(
+        imap=jnp.asarray(np.concatenate(imap_q) if imap_q else
+                         np.empty(0, np.int32)),
+        omap=jnp.asarray(np.concatenate(omap_q) if omap_q else
+                         np.empty(0, np.int32)),
+        widx=jnp.asarray(np.concatenate(widx_q) if widx_q else
+                         np.empty(0, np.int32)),
+        knnz=tuple(knnz),
+        kpos=tuple(kpos),
+        qkpos=tuple(qkpos),
+        num_out=num_out,
+        num_in=nnz,
+        k_vol=k_vol,
+        separate_mid=separate_mid,
+        quant=quant,
+    )
+    return plan, out_coords.astype(np.int32)
+
+
+def spconv(
+    features: jax.Array,      # [nnz_in, C_in]
+    kernel: jax.Array,        # [k_vol, C_in, C_out]
+    plan: SpConvPlan,
+) -> jax.Array:
+    """Fused sparse conv forward (reference: spconv_fwd_fused,
+    src/cuda/spconv_cuda.cu:18-187). Returns [num_out, C_out].
+
+    Per-offset: gather rows via imap, dense MXU matmul against that offset's
+    [C_in, C_out] weight slice, scatter-add via omap. Padding pairs carry
+    imap == -1 and are masked to zero. The center tap under separate_mid is
+    one dense matmul (out rows == in rows for submanifold convs).
+    """
+    c_out = kernel.shape[-1]
+    out = jnp.zeros((plan.num_out, c_out), features.dtype)
+
+    if plan.separate_mid:
+        mid = (plan.k_vol - 1) // 2
+        out = out + jnp.dot(features, kernel[mid],
+                            preferred_element_type=jnp.float32
+                            ).astype(features.dtype)
+
+    total_q = int(plan.qkpos[-1])
+    if total_q:
+        valid = (plan.imap >= 0)[:, None]
+        gathered = jnp.where(
+            valid, jnp.take(features, jnp.maximum(plan.imap, 0), axis=0), 0)
+        # One batched matmul over Q-tiles: every tile has a single widx, so
+        # gather the per-tile weight and einsum — [T, Q, C_in] x [T, C_in,
+        # C_out]. This keeps the MXU batched instead of k_vol tiny matmuls.
+        q = plan.quant
+        t = total_q // q
+        g = gathered.reshape(t, q, -1)
+        w_t = jnp.take(kernel, plan.widx[::q], axis=0)      # [T, C_in, C_out]
+        contrib = jnp.einsum(
+            "tqi,tio->tqo", g, w_t,
+            preferred_element_type=jnp.float32).astype(features.dtype)
+        out = out.at[plan.omap].add(
+            jnp.where(valid, contrib.reshape(total_q, c_out), 0))
+    return out
+
+
+class SparseConvTensor:
+    """Features + voxel coords + cached rulebooks, carried through a network
+    so mappings are built once (the design the reference notes as intended,
+    src/spconv.cpp:11-17)."""
+
+    def __init__(self, features: jax.Array, coords: np.ndarray,
+                 spatial_shape: Sequence[int]):
+        self.features = features
+        self.coords = np.asarray(coords, np.int32)
+        self.spatial_shape = tuple(int(s) for s in spatial_shape)
+        self._plans = {}
+
+    def plan_for(self, kernel_size, stride, padding) -> Tuple[SpConvPlan,
+                                                              np.ndarray]:
+        key = (_triple(kernel_size), _triple(stride), _triple(padding))
+        if key not in self._plans:
+            self._plans[key] = build_rulebook(
+                self.coords, kernel_size, stride, padding,
+                spatial_shape=self.spatial_shape)
+        return self._plans[key]
+
+    def replace(self, features: jax.Array, coords=None, spatial_shape=None):
+        new = SparseConvTensor(
+            features,
+            self.coords if coords is None else coords,
+            self.spatial_shape if spatial_shape is None else spatial_shape,
+        )
+        if coords is None and spatial_shape is None:
+            new._plans = self._plans
+        return new

@@ -1,0 +1,101 @@
+"""Generalized semiring SpMM vs oracle (reference: src/gspmm-fp/ and the
+u_*_e_* grid in example/gspmm-fp/util.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgsparse_tpu import GSpMM_u, GSpMM_u_e, SparseTensor, gspmm
+from dgsparse_tpu.ops import gspmm as gmod
+from dgsparse_tpu.utils.testing import gspmm_oracle, random_csr
+
+COMPUTES = ["add", "sub", "mul", "div"]
+REDUCES = ["sum", "mean", "max", "min"]
+
+
+def make(m=50, n=40, feat=8, seed=0, positive_values=False):
+    rowptr, col, values = random_csr(m, n, avg_degree=4.0, seed=seed)
+    if positive_values:
+        values = np.abs(values) + 0.5  # keep DIV well-conditioned
+    rng = np.random.default_rng(seed + 1)
+    dense = rng.standard_normal((n, feat)).astype(np.float32)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(values), sparse_sizes=(m, n))
+    return sp, rowptr, col, values, dense
+
+
+@pytest.mark.parametrize("compute", COMPUTES)
+@pytest.mark.parametrize("reduce", REDUCES)
+def test_forward(compute, reduce):
+    sp, rowptr, col, values, dense = make(positive_values=(compute == "div"))
+    out = gspmm(sp, jnp.asarray(dense), reduce, compute)
+    ref = gspmm_oracle(rowptr, col, values, dense, reduce, compute)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduce", REDUCES)
+def test_copy_u(reduce):
+    sp, rowptr, col, _, dense = make()
+    op = getattr(gmod, f"copy_u_{reduce}")
+    out = op(sp, jnp.asarray(dense))
+    ref = gspmm_oracle(rowptr, col, None, dense, reduce, "mul")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_op_grid_complete():
+    """The full DGL-style grid exists (example/gspmm-fp/util.py:17-110)."""
+    for c in COMPUTES:
+        for r in REDUCES:
+            assert callable(getattr(gmod, f"u_{c}_e_{r}"))
+    for r in REDUCES:
+        assert callable(getattr(gmod, f"copy_u_{r}"))
+
+
+def test_raw_csr_entries():
+    sp, rowptr, col, values, dense = make()
+    out = GSpMM_u_e(jnp.asarray(rowptr), jnp.asarray(col),
+                    jnp.asarray(values), jnp.asarray(dense), "sum", "mul")
+    ref = gspmm_oracle(rowptr, col, values, dense, "sum", "mul")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+    out_u = GSpMM_u(jnp.asarray(rowptr), jnp.asarray(col),
+                    jnp.asarray(dense), "max")
+    ref_u = gspmm_oracle(rowptr, col, None, dense, "max", "mul")
+    np.testing.assert_allclose(np.asarray(out_u), ref_u, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("compute", COMPUTES)
+@pytest.mark.parametrize("reduce", ["sum", "max"])
+def test_backward_vs_autodiff(compute, reduce):
+    sp, rowptr, col, values, dense = make(positive_values=True)
+    feat = dense.shape[1]
+    rng = np.random.default_rng(3)
+    ct = jnp.asarray(rng.standard_normal((sp.shape[0], feat))
+                     .astype(np.float32))
+    coo_row = jnp.asarray(
+        np.repeat(np.arange(len(rowptr) - 1), np.diff(rowptr)), jnp.int32)
+
+    def ours(v, d):
+        return jnp.vdot(gspmm(sp.set_values(v), d, reduce, compute), ct)
+
+    def ref(v, d):
+        feats = jnp.take(d, jnp.asarray(col), axis=0)
+        e = v[:, None]
+        c = {"add": feats + e, "sub": feats - e,
+             "mul": feats * e, "div": feats / e}[compute]
+        if reduce == "sum":
+            o = jax.ops.segment_sum(c, coo_row, num_segments=sp.shape[0])
+        else:
+            o = jax.ops.segment_max(c, coo_row, num_segments=sp.shape[0])
+            o = jnp.where(jnp.isfinite(o), o, 0)
+        return jnp.vdot(o, ct)
+
+    gv, gd = jax.grad(ours, argnums=(0, 1))(jnp.asarray(values),
+                                            jnp.asarray(dense))
+    rv, rd = jax.grad(ref, argnums=(0, 1))(jnp.asarray(values),
+                                           jnp.asarray(dense))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(rd), rtol=1e-4,
+                               atol=1e-4)
