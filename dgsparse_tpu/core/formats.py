@@ -24,10 +24,16 @@ from dgsparse_tpu.core import transform as T
 
 
 def _as_i32(x) -> jax.Array:
-    x = jnp.asarray(x)
-    if x.dtype not in (jnp.int32, jnp.int64):
-        raise TypeError(f"index arrays must be integer, got {x.dtype}")
-    return x.astype(jnp.int32)
+    """To int32 jax array without any eager device op (host cast if
+    concrete; on TPU every eager primitive pays an XLA compile)."""
+    if x is None or isinstance(x, jax.core.Tracer):
+        if x is not None and x.dtype != jnp.int32:
+            x = x.astype(jnp.int32)
+        return x
+    arr = np.asarray(jax.device_get(x))
+    if not np.issubdtype(arr.dtype, np.integer):
+        raise TypeError(f"index arrays must be integer, got {arr.dtype}")
+    return jnp.asarray(arr.astype(np.int32, copy=False))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -49,6 +55,9 @@ class Storage:
     ):
         if col is None:
             raise ValueError("col is required")
+        concrete = not (isinstance(col, jax.core.Tracer)
+                        or isinstance(rowptr, jax.core.Tracer)
+                        or isinstance(row, jax.core.Tracer))
         col = _as_i32(col)
         nnz = int(col.shape[0])
 
@@ -60,7 +69,23 @@ class Storage:
                 num_rows = int(np.asarray(jax.device_get(row)).max()) + 1 if nnz else 0
             else:
                 num_rows = sparse_sizes[0]
-            rowptr, col, values, _ = T.coo2csr(row, col, values, num_rows)
+            if concrete:
+                # Host-side numpy sort (eager jnp ops pay per-op compiles).
+                row_np = np.asarray(jax.device_get(row))
+                col_np = np.asarray(jax.device_get(col))
+                perm_np = np.argsort(row_np, kind="stable")
+                rowptr_np = np.zeros(num_rows + 1, np.int64)
+                np.add.at(rowptr_np, row_np + 1, 1)
+                rowptr = jnp.asarray(np.cumsum(rowptr_np).astype(np.int32))
+                col = jnp.asarray(col_np[perm_np])
+                if values is not None:
+                    if isinstance(values, jax.core.Tracer):
+                        values = values[jnp.asarray(perm_np.astype(np.int32))]
+                    else:
+                        values = jnp.asarray(
+                            np.asarray(jax.device_get(values))[perm_np])
+            else:
+                rowptr, col, values, _ = T.coo2csr(row, col, values, num_rows)
         else:
             rowptr = _as_i32(rowptr)
 
@@ -89,15 +114,42 @@ class Storage:
         self._num_cols = num_cols
         self._nnz = nnz
 
+        rowptr_np = col_np = None
+        if concrete:
+            rowptr_np = np.asarray(jax.device_get(self._rowptr))
+            col_np = np.asarray(jax.device_get(self._col))
+
         if _cached is not None:
             self._colptr, self._row_csc, self._csr2csc, self._coo_row = _cached
+        elif concrete:
+            # Eager CSC cache, mirroring reference storage.py:100 — computed
+            # host-side (numpy / native C++), never as eager device ops.
+            colptr, row_csc, perm = T.csr2csc_np(rowptr_np, col_np, num_cols)
+            self._colptr = jnp.asarray(colptr)
+            self._row_csc = jnp.asarray(row_csc)
+            self._csr2csc = jnp.asarray(perm)
+            self._coo_row = jnp.asarray(T.expand_rowptr_np(rowptr_np))
         else:
-            # Eager CSC cache, mirroring reference storage.py:100.
             colptr, row_csc, _, perm = T.csr2csc(rowptr, col, None, num_cols)
             self._colptr = colptr
             self._row_csc = row_csc
             self._csr2csc = perm
             self._coo_row = T.expand_rowptr(rowptr, nnz)
+
+        # Eager edge-tile plans (forward + transpose) for the Pallas kernels,
+        # the same construction-time amortization as the CSC cache. Skipped
+        # when built from tracers (structure unknown at trace time) — the
+        # XLA fallback kernels are used then.
+        self._plan_fwd = None
+        self._plan_bwd = None
+        if concrete and nnz > 0:
+            from dgsparse_tpu.core.planner import build_edge_tile_plan
+
+            self._plan_fwd = build_edge_tile_plan(
+                rowptr_np, col_np, num_cols)
+            self._plan_bwd = build_edge_tile_plan(
+                np.asarray(jax.device_get(self._colptr)),
+                np.asarray(jax.device_get(self._row_csc)), num_rows)
 
     # --- reference-parity accessors (dgsparse/storage.py) ---
     def rowptr(self) -> jax.Array:
@@ -143,6 +195,10 @@ class Storage:
     def sparse_sizes(self) -> Tuple[int, int]:
         return (self._num_rows, self._num_cols)
 
+    def plan(self, transpose: bool = False):
+        """Edge-tile plan for the Pallas kernels (None if built under jit)."""
+        return self._plan_bwd if transpose else self._plan_fwd
+
     # --- pytree protocol ---
     def tree_flatten(self):
         children = (
@@ -153,6 +209,8 @@ class Storage:
             self._row_csc,
             self._csr2csc,
             self._coo_row,
+            self._plan_fwd,
+            self._plan_bwd,
         )
         aux = (self._num_rows, self._num_cols, self._nnz)
         return children, aux
@@ -168,6 +226,8 @@ class Storage:
             obj._row_csc,
             obj._csr2csc,
             obj._coo_row,
+            obj._plan_fwd,
+            obj._plan_bwd,
         ) = children
         obj._num_rows, obj._num_cols, obj._nnz = aux
         return obj
@@ -280,6 +340,7 @@ class SparseTensor:
         st._values = values
         st._colptr, st._row_csc = src._colptr, src._row_csc
         st._csr2csc, st._coo_row = src._csr2csc, src._coo_row
+        st._plan_fwd, st._plan_bwd = src._plan_fwd, src._plan_bwd
         st._num_rows, st._num_cols, st._nnz = (
             src._num_rows,
             src._num_cols,
@@ -301,12 +362,21 @@ class SparseTensor:
         st._values = vals
         # CSC of the transpose is the original CSR; the inverse permutation
         # maps transposed-order values back to original order.
-        inv = jnp.zeros_like(src._csr2csc).at[src._csr2csc].set(
-            jnp.arange(src._nnz, dtype=jnp.int32)
-        )
+        if isinstance(src._csr2csc, jax.core.Tracer):
+            inv = jnp.zeros_like(src._csr2csc).at[src._csr2csc].set(
+                jnp.arange(src._nnz, dtype=jnp.int32))
+            coo_row_t = T.expand_rowptr(src._colptr, src._nnz)
+        else:
+            perm_np = np.asarray(jax.device_get(src._csr2csc))
+            inv_np = np.empty_like(perm_np)
+            inv_np[perm_np] = np.arange(src._nnz, dtype=np.int32)
+            inv = jnp.asarray(inv_np)
+            coo_row_t = jnp.asarray(T.expand_rowptr_np(
+                np.asarray(jax.device_get(src._colptr))))
         st._colptr, st._row_csc = src._rowptr, src._col
         st._csr2csc = inv
-        st._coo_row = T.expand_rowptr(src._colptr, src._nnz)
+        st._coo_row = coo_row_t
+        st._plan_fwd, st._plan_bwd = src._plan_bwd, src._plan_fwd
         st._num_rows, st._num_cols = src._num_cols, src._num_rows
         st._nnz = src._nnz
         obj.storage = st

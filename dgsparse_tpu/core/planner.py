@@ -80,6 +80,20 @@ def build_edge_tile_plan(
     nnz = len(col)
     num_rb = max(-(-m // row_block), 1)
 
+    if nnz >= 4096:
+        from dgsparse_tpu import native
+
+        nat = native.plan_edge_tiles(rowptr, col, edge_tile, row_block,
+                                     sort_cols)
+        if nat is not None:
+            cols, eperm, lrow, tile_rb = nat
+            return EdgeTilePlan(
+                cols=jnp.asarray(cols), eperm=jnp.asarray(eperm),
+                lrow=jnp.asarray(lrow), tile_rb=jnp.asarray(tile_rb),
+                num_tiles=len(tile_rb), edge_tile=edge_tile,
+                row_block=row_block, num_row_blocks=num_rb, num_rows=m,
+                num_cols=num_cols, nnz=nnz)
+
     cols_l, perm_l, lrow_l, tile_rb_l = [], [], [], []
     coo_row = np.repeat(np.arange(m, dtype=np.int32), np.diff(rowptr))
     for rb in range(num_rb):

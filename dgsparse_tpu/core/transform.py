@@ -84,3 +84,35 @@ def csr2coo(rowptr: jax.Array, col: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def row_degrees(rowptr: jax.Array) -> jax.Array:
     return rowptr[1:] - rowptr[:-1]
+
+
+# --- numpy twins -----------------------------------------------------------
+# Host-side structure building must NOT run eager jnp ops: on TPU each eager
+# primitive pays a fresh XLA compile. Storage uses these (or the native C++
+# library) on concrete inputs; the jnp versions above remain for use under
+# jit.
+
+import numpy as np  # noqa: E402
+
+
+def expand_rowptr_np(rowptr: np.ndarray) -> np.ndarray:
+    return np.repeat(
+        np.arange(len(rowptr) - 1, dtype=np.int32), np.diff(rowptr))
+
+
+def csr2csc_np(rowptr: np.ndarray, col: np.ndarray, num_cols: int):
+    """(colptr, row_csc, perm) with numpy (native C++ when available)."""
+    from dgsparse_tpu import native
+
+    num_rows = len(rowptr) - 1
+    out = None
+    if len(col) >= 4096:
+        out = native.csr2csc(rowptr, col, num_rows, num_cols)
+    if out is not None:
+        return out
+    row = expand_rowptr_np(rowptr)
+    perm = np.argsort(col, kind="stable").astype(np.int32)
+    colptr = np.zeros(num_cols + 1, np.int64)
+    np.add.at(colptr, col + 1, 1)
+    colptr = np.cumsum(colptr).astype(np.int32)
+    return colptr, row[perm], perm

@@ -39,31 +39,45 @@ def _int_zero(x):
 def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                   idx, values, dense):
     """Dispatch the forward kernel. idx = (rowptr, col, coo_row, colptr,
-    row_csc, perm)."""
-    rowptr, col, coo_row, _, _, _ = idx
+    row_csc, perm, plan_fwd, plan_bwd)."""
+    rowptr, col, coo_row, _, _, _, plan_fwd, _ = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
 
-    algorithm = _resolve_algorithm(algorithm, num_rows, dense.shape[-1],
-                                   col.shape[0], reduce)
+    algorithm = _resolve_algorithm(algorithm, plan_fwd, col.shape[0], reduce)
     if algorithm == Algorithm.XLA_SEGMENT:
         return kx.spmm_forward(coo_row, col, vals, dense, num_rows, reduce,
                                degrees)
     if algorithm in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE):
+        if plan_fwd is None or reduce in (ReduceOp.MAX, ReduceOp.MIN):
+            # No plan (structure built under jit) or argmax needed: the XLA
+            # segment path is the only one carrying those semantics.
+            return kx.spmm_forward(coo_row, col, vals, dense, num_rows,
+                                   reduce, degrees)
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
-        return kp.spmm_forward(rowptr, col, coo_row, vals, dense, num_rows,
-                               reduce, algorithm)
+        return kp.spmm_esc(plan_fwd, vals, dense, reduce, degrees), None
     raise ValueError(f"unknown algorithm {algorithm}")
 
 
-def _resolve_algorithm(algorithm: Algorithm, num_rows: int, feat: int,
-                       nnz: int, reduce: ReduceOp) -> Algorithm:
-    """AUTO heuristic (≈ gespmmAlgSel, src/ge-spmm/gespmm.cc:13-24), keyed on
-    feature width and problem size."""
+def _resolve_algorithm(algorithm: Algorithm, plan, nnz: int,
+                       reduce: ReduceOp) -> Algorithm:
+    """AUTO heuristic (≈ gespmmAlgSel, src/ge-spmm/gespmm.cc:13-24): the
+    Pallas edge-tile kernel when a plan exists and the structure isn't
+    degenerate; the XLA segment path otherwise (and always for MAX/MIN,
+    which need argmax residuals — like the reference GE-SpMM lib, the fast
+    path is sum-only)."""
     if algorithm != Algorithm.AUTO:
         return algorithm
+    if (
+        plan is not None
+        and reduce in (ReduceOp.SUM, ReduceOp.MEAN)
+        and jax.default_backend() == "tpu"
+        and nnz >= 4096
+        and plan.pad_ratio() <= 4.0
+    ):
+        return Algorithm.PALLAS_EDGE_TILE
     return Algorithm.XLA_SEGMENT
 
 
@@ -82,7 +96,7 @@ def _spmm_fwd(reduce, algorithm, has_value, idx, values, dense):
 
 def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
     idx, values, dense, arg_edge = residuals
-    rowptr, col, coo_row, colptr, row_csc, perm = idx
+    rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd = idx
     num_rows = rowptr.shape[0] - 1
     nnz = col.shape[0]
 
@@ -95,16 +109,25 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             d_values = kx.sddmm(coo_row, col, g, dense).astype(values.dtype)
         else:
             d_values = jnp.zeros_like(values)
-        # d_dense = A^T · grad via cached CSC (src/spmm.cpp:72-74). CSC row
-        # ids are sorted, so the segment reduction is a sorted scatter.
-        csc_col = expand_rowptr(colptr, nnz)
-        contrib = jnp.take(g, row_csc, axis=0)
-        if has_value:
-            contrib = contrib * jnp.take(values, perm)[:, None].astype(g.dtype)
-        d_dense = jax.ops.segment_sum(
-            contrib, csc_col, num_segments=dense.shape[0],
-            indices_are_sorted=True,
-        ).astype(dense.dtype)
+        # d_dense = A^T · grad via cached CSC (src/spmm.cpp:72-74), on the
+        # same kernel path as the forward (transpose plan for Pallas).
+        alg = _resolve_algorithm(algorithm, plan_bwd, nnz, ReduceOp.SUM)
+        if alg in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE) \
+                and plan_bwd is not None:
+            from dgsparse_tpu.kernels import pallas_spmm as kp
+
+            vals_t = jnp.take(values, perm) if has_value else None
+            d_dense = kp.spmm_esc(plan_bwd, vals_t, g).astype(dense.dtype)
+        else:
+            csc_col = expand_rowptr(colptr, nnz)
+            contrib = jnp.take(g, row_csc, axis=0)
+            if has_value:
+                contrib = contrib * jnp.take(values, perm)[:, None].astype(
+                    g.dtype)
+            d_dense = jax.ops.segment_sum(
+                contrib, csc_col, num_segments=dense.shape[0],
+                indices_are_sorted=True,
+            ).astype(dense.dtype)
     else:
         # MAX/MIN: gradient flows only through the winning edge per output
         # element (masked variants, src/spmm.cpp:127-134,183-190).
@@ -130,7 +153,7 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             .astype(dense.dtype)
         )
 
-    d_idx = tuple(_int_zero(a) for a in idx)
+    d_idx = jax.tree.map(_int_zero, idx)
     return d_idx, d_values, d_dense
 
 
@@ -144,7 +167,7 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     algorithm = as_algorithm(algorithm)
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
-           st.csr2csc())
+           st.csr2csc(), st.plan(), st.plan(transpose=True))
     values = sparse.values_or_ones()
     return _spmm(reduce, algorithm, sparse.has_value, idx, values, dense)
 

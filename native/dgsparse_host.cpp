@@ -1,0 +1,212 @@
+// dgsparse_tpu native host library.
+//
+// TPU-native replacement for the reference's native host-side machinery:
+// - edge-tile planner (the plan-time analog of the reference's runtime
+//   load-balancing kernel selection, src/cuda/spmm_cuda.cu:36-165, and of
+//   the spconv qkpos 128-quantized scan,
+//   include/cuda/sparse_mapping.cuh:272-290),
+// - CSR -> CSC transpose (reference wraps cusparseCsr2cscEx2,
+//   include/cuda/csr2csc.cuh:8-26; here a counting-sort transpose),
+// - spconv rulebook builder (reference uses a GPU open-addressing hash
+//   table, include/cuda/sparse_mapping.cuh:26-58; here a CPU open-addressing
+//   hash over packed voxel keys).
+//
+// All entry points are extern "C" and operate on caller-allocated buffers so
+// they bind through ctypes with zero copies. Sparsity structure is host-
+// static in the TPU design, so this code runs once per graph/point-cloud,
+// off the device critical path — but it must still be fast for
+// million-edge graphs, hence C++ instead of numpy.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CSR -> CSC counting-sort transpose. All index arrays int32.
+// colptr: [ncol+1], row_out/perm_out: [nnz].
+// ---------------------------------------------------------------------------
+void dg_csr2csc(const int32_t* rowptr, const int32_t* col, int32_t nrow,
+                int32_t ncol, int64_t nnz, int32_t* colptr, int32_t* row_out,
+                int32_t* perm_out) {
+  std::memset(colptr, 0, sizeof(int32_t) * (ncol + 1));
+  for (int64_t e = 0; e < nnz; ++e) colptr[col[e] + 1]++;
+  for (int32_t c = 0; c < ncol; ++c) colptr[c + 1] += colptr[c];
+  std::vector<int32_t> cursor(colptr, colptr + ncol);
+  for (int32_t r = 0; r < nrow; ++r) {
+    for (int32_t e = rowptr[r]; e < rowptr[r + 1]; ++e) {
+      int32_t pos = cursor[col[e]]++;
+      row_out[pos] = r;
+      perm_out[pos] = e;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Edge-tile planner (see dgsparse_tpu/core/planner.py for the layout spec).
+// Pass 1: dg_plan_count returns the number of tiles so the caller can
+// allocate. Pass 2: dg_plan_fill writes cols/eperm/lrow/tile_rb.
+// ---------------------------------------------------------------------------
+int64_t dg_plan_count(const int32_t* rowptr, int32_t nrow, int32_t edge_tile,
+                      int32_t row_block) {
+  int32_t num_rb = std::max((nrow + row_block - 1) / row_block, 1);
+  int64_t tiles = 0;
+  for (int32_t rb = 0; rb < num_rb; ++rb) {
+    int32_t lo_row = std::min(rb * row_block, nrow);
+    int32_t hi_row = std::min((rb + 1) * row_block, nrow);
+    int64_t e = rowptr[hi_row] - rowptr[lo_row];
+    tiles += std::max((e + edge_tile - 1) / edge_tile, (int64_t)1);
+  }
+  return tiles;
+}
+
+void dg_plan_fill(const int32_t* rowptr, const int32_t* col, int32_t nrow,
+                  int32_t edge_tile, int32_t row_block, int32_t sort_cols,
+                  int32_t* cols, int32_t* eperm, int32_t* lrow,
+                  int32_t* tile_rb) {
+  int32_t num_rb = std::max((nrow + row_block - 1) / row_block, 1);
+  int64_t slot = 0, tile = 0;
+  std::vector<std::pair<int32_t, int32_t>> buf;  // (col, csr position)
+  for (int32_t rb = 0; rb < num_rb; ++rb) {
+    int32_t lo_row = std::min(rb * row_block, nrow);
+    int32_t hi_row = std::min((rb + 1) * row_block, nrow);
+    int64_t lo = rowptr[lo_row], hi = rowptr[hi_row];
+    int64_t e = hi - lo;
+    int64_t n_tiles = std::max((e + edge_tile - 1) / edge_tile, (int64_t)1);
+    int64_t padded = n_tiles * edge_tile;
+
+    buf.clear();
+    buf.reserve(e);
+    for (int32_t r = lo_row; r < hi_row; ++r)
+      for (int32_t p = rowptr[r]; p < rowptr[r + 1]; ++p)
+        buf.emplace_back(col[p], p);
+    if (sort_cols)
+      std::stable_sort(buf.begin(), buf.end(),
+                       [](auto& a, auto& b) { return a.first < b.first; });
+
+    // local row for each csr position: recover row by walking rowptr
+    // (positions are CSR-ordered per row; store row per position).
+    std::vector<int32_t> pos_row(e);
+    {
+      int64_t i = 0;
+      for (int32_t r = lo_row; r < hi_row; ++r)
+        for (int32_t p = rowptr[r]; p < rowptr[r + 1]; ++p)
+          pos_row[i++] = r - lo_row;
+    }
+
+    for (int64_t i = 0; i < padded; ++i) {
+      if (i < e) {
+        cols[slot] = buf[i].first;
+        eperm[slot] = buf[i].second;
+        lrow[slot] = pos_row[buf[i].second - lo];
+      } else {
+        cols[slot] = 0;
+        eperm[slot] = -1;
+        lrow[slot] = 0;
+      }
+      ++slot;
+    }
+    for (int64_t t = 0; t < n_tiles; ++t) tile_rb[tile++] = rb;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// spconv rulebook builder.
+//
+// Open-addressing hash table over packed (b,x,y,z) voxel keys (the CPU
+// analog of the reference's insertHash/insertVal + linear probing,
+// include/cuda/sparse_mapping.cuh:26-58).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct VoxelHash {
+  std::vector<int64_t> keys;
+  std::vector<int32_t> vals;
+  int64_t mask;
+
+  explicit VoxelHash(int64_t n) {
+    int64_t cap = 4;
+    while (cap < n * 2) cap <<= 1;
+    keys.assign(cap, -1);
+    vals.assign(cap, -1);
+    mask = cap - 1;
+  }
+  static uint64_t mix(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    k *= 0xc4ceb9fe1a85ec53ULL;
+    k ^= k >> 33;
+    return k;
+  }
+  void insert(int64_t key, int32_t val) {
+    uint64_t h = mix((uint64_t)key) & mask;
+    while (keys[h] != -1 && keys[h] != key) h = (h + 1) & mask;
+    keys[h] = key;
+    vals[h] = val;
+  }
+  int32_t find(int64_t key) const {
+    uint64_t h = mix((uint64_t)key) & mask;
+    while (keys[h] != -1) {
+      if (keys[h] == key) return vals[h];
+      h = (h + 1) & mask;
+    }
+    return -1;
+  }
+};
+
+inline int64_t pack(int32_t b, int32_t x, int32_t y, int32_t z,
+                    const int64_t* dims) {
+  return (((int64_t)b * dims[0] + x) * dims[1] + y) * dims[2] + z;
+}
+
+}  // namespace
+
+// Submanifold rulebook: out coords == in coords. For each kernel offset
+// (except the center when separate_mid) and each output voxel, probe the
+// input voxel at out - center + offset. Writes pair counts per offset to
+// knnz; imap/omap must have room for n_coords per offset (worst case).
+// Returns total number of pairs.
+int64_t dg_rulebook_subm(const int32_t* coords, int64_t n, int32_t k0,
+                         int32_t k1, int32_t k2, const int32_t* spatial,
+                         int32_t separate_mid, int32_t* imap, int32_t* omap,
+                         int64_t* knnz) {
+  int64_t dims[3] = {spatial[0] + k0 + 2, spatial[1] + k1 + 2,
+                     spatial[2] + k2 + 2};
+  VoxelHash table(n);
+  for (int64_t i = 0; i < n; ++i)
+    table.insert(pack(coords[i * 4], coords[i * 4 + 1] + k0,
+                      coords[i * 4 + 2] + k1, coords[i * 4 + 3] + k2, dims),
+                 (int32_t)i);
+  int32_t k_vol = k0 * k1 * k2;
+  int32_t mid = (k_vol - 1) / 2;
+  int64_t total = 0;
+  for (int32_t kp = 0; kp < k_vol; ++kp) {
+    int64_t cnt = 0;
+    if (!(separate_mid && kp == mid)) {
+      int32_t dz = kp % k2, dy = (kp / k2) % k1, dx = kp / (k1 * k2);
+      int32_t ox = dx - k0 / 2, oy = dy - k1 / 2, oz = dz - k2 / 2;
+      int32_t* im = imap + kp * n;
+      int32_t* om = omap + kp * n;
+      for (int64_t i = 0; i < n; ++i) {
+        int32_t v = table.find(pack(
+            coords[i * 4], coords[i * 4 + 1] + ox + k0,
+            coords[i * 4 + 2] + oy + k1, coords[i * 4 + 3] + oz + k2, dims));
+        if (v >= 0) {
+          im[cnt] = v;
+          om[cnt] = (int32_t)i;
+          ++cnt;
+        }
+      }
+    }
+    knnz[kp] = cnt;
+    total += cnt;
+  }
+  return total;
+}
+
+int32_t dg_version() { return 10; }
+
+}  // extern "C"

@@ -23,7 +23,7 @@ def make_graph(num_nodes=120, feat=16, num_classes=5, seed=0):
     return adj, x, y, num_classes
 
 
-def _train(model, adj, x, y, steps=30, lr=1e-2):
+def _train(model, adj, x, y, steps=60, lr=2e-2):
     params = model.init(jax.random.key(0), x, adj)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
