@@ -117,34 +117,53 @@ def spmm_esc(
     degrees: Optional[jax.Array] = None,
 ) -> jax.Array:
     """ESC SpMM forward: XLA fused gather+scale, Pallas segment matmul."""
+    from dgsparse_tpu.ops.types import ComputeOp
+
+    return gspmm_esc(plan, values, dense, reduce, ComputeOp.MUL, degrees)
+
+
+def gspmm_esc(
+    plan: EdgeTilePlan,
+    values: Optional[jax.Array],
+    dense: jax.Array,
+    reduce: ReduceOp = ReduceOp.SUM,
+    compute=None,
+    degrees: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Generalized-semiring ESC: contrib = compute(edge, feat[col]) computed
+    in one fused XLA pass over the plan slots (padding slots forced to 0),
+    then the Pallas one-hot segment matmul (the reference gspmm-fp analog,
+    src/gspmm-fp/gspmm.cu, for SUM/MEAN)."""
+    from dgsparse_tpu.kernels.xla import combine
+    from dgsparse_tpu.ops.types import ComputeOp
+
+    compute = ComputeOp.MUL if compute is None else compute
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
-        raise ValueError("spmm_esc handles SUM/MEAN only")
+        raise ValueError("gspmm_esc handles SUM/MEAN only")
     f = dense.shape[-1]
     f_pad = _round_up(max(f, 128), 128)
     if f_pad != f:
         dense = jnp.pad(dense, ((0, 0), (0, f_pad - f)))
 
-    # Per-plan-slot effective values: 0 for padding slots, values (or 1)
-    # otherwise; MEAN folds 1/degree in here. All of this fuses with the
-    # gather into one XLA pass over [T*E, F].
     valid = plan.eperm >= 0
     safe_perm = jnp.maximum(plan.eperm, 0)
-    if values is not None:
-        v = jnp.take(values, safe_perm)
+    feats = jnp.take(dense, plan.cols, axis=0)           # [T*E, F]
+    if values is None:
+        contrib = feats
+        if compute != ComputeOp.MUL:
+            raise ValueError("copy_u requires compute == MUL semantics")
     else:
-        v = jnp.ones_like(safe_perm, dtype=dense.dtype)
+        v = jnp.take(values, safe_perm).astype(feats.dtype)
+        contrib = combine(compute, v, feats)
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
-        # row of each plan slot = tile_rb*R + lrow
         rb = jnp.repeat(plan.tile_rb, plan.edge_tile)
         rows = rb * plan.row_block + plan.lrow
         deg = jnp.take(jnp.maximum(degrees, 1),
                        jnp.minimum(rows, plan.num_rows - 1))
-        v = v / deg.astype(v.dtype)
-    v = jnp.where(valid, v, 0).astype(dense.dtype)
-
-    contrib = jnp.take(dense, plan.cols, axis=0) * v[:, None]
+        contrib = contrib / deg.astype(contrib.dtype)[:, None]
+    contrib = jnp.where(valid[:, None], contrib, 0)
 
     out = segment_matmul(
         contrib, plan.lrow, plan.tile_rb,

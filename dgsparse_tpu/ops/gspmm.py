@@ -55,11 +55,24 @@ def _gspmm(reduce: ReduceOp, compute: ComputeOp, has_value: bool, idx,
     return out
 
 
+def _use_esc(plan, nnz, reduce) -> bool:
+    return (plan is not None
+            and reduce in (ReduceOp.SUM, ReduceOp.MEAN)
+            and jax.default_backend() == "tpu"
+            and nnz >= 4096
+            and plan.pad_ratio() <= 4.0)
+
+
 def _forward(reduce, compute, has_value, idx, values, dense):
-    rowptr, col, coo_row, _, _, _ = idx
+    rowptr, col, coo_row, _, _, _, plan_fwd, _ = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
+    if _use_esc(plan_fwd, col.shape[0], reduce):
+        from dgsparse_tpu.kernels import pallas_spmm as kp
+
+        return kp.gspmm_esc(plan_fwd, vals, dense, reduce, compute,
+                            degrees), None
     return kx.gspmm_forward(coo_row, col, vals, dense, num_rows, reduce,
                             compute, degrees)
 
@@ -71,7 +84,7 @@ def _gspmm_fwd(reduce, compute, has_value, idx, values, dense):
 
 def _gspmm_bwd(reduce, compute, has_value, residuals, g):
     idx, values, dense, arg_edge = residuals
-    rowptr, col, coo_row, colptr, row_csc, perm = idx
+    rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd = idx
     nnz = col.shape[0]
 
     if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
@@ -87,13 +100,27 @@ def _gspmm_bwd(reduce, compute, has_value, residuals, g):
             d_values = jnp.sum(g_e * de, axis=-1).astype(values.dtype)
         else:
             d_values = jnp.zeros_like(values)
-        # Column scatter via the cached CSC view (sorted segments).
-        csc_col = expand_rowptr(colptr, nnz)
-        contrib = jnp.take(g_e * df, perm, axis=0)
-        d_dense = jax.ops.segment_sum(
-            contrib, csc_col, num_segments=dense.shape[0],
-            indices_are_sorted=True,
-        ).astype(dense.dtype)
+        # d_dense: A^T-shaped scatter. df is 1 (ADD/SUB), edge (MUL) or
+        # 1/edge (DIV) — all per-edge scalars, so the transpose ESC kernel
+        # handles every compute op as a weighted transpose SpMM.
+        if _use_esc(plan_bwd, nnz, ReduceOp.SUM):
+            from dgsparse_tpu.kernels import pallas_spmm as kp
+
+            if compute in (ComputeOp.ADD, ComputeOp.SUB):
+                w = None
+            elif compute == ComputeOp.MUL:
+                w = values if has_value else None
+            else:  # DIV
+                w = (1.0 / values) if has_value else None
+            w_t = jnp.take(w, perm) if w is not None else None
+            d_dense = kp.spmm_esc(plan_bwd, w_t, g).astype(dense.dtype)
+        else:
+            csc_col = expand_rowptr(colptr, nnz)
+            contrib = jnp.take(g_e * df, perm, axis=0)
+            d_dense = jax.ops.segment_sum(
+                contrib, csc_col, num_segments=dense.shape[0],
+                indices_are_sorted=True,
+            ).astype(dense.dtype)
     else:
         valid = arg_edge < nnz
         safe_edge = jnp.minimum(arg_edge, nnz - 1)
@@ -118,7 +145,7 @@ def _gspmm_bwd(reduce, compute, has_value, residuals, g):
             .astype(dense.dtype)
         )
 
-    return tuple(_int_zero(a) for a in idx), d_values, d_dense
+    return jax.tree.map(_int_zero, idx), d_values, d_dense
 
 
 _gspmm.defvjp(_gspmm_fwd, _gspmm_bwd)
@@ -131,7 +158,7 @@ def gspmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     reduce, compute = as_reduce(reduce), as_compute(compute)
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
-           st.csr2csc())
+           st.csr2csc(), st.plan(), st.plan(transpose=True))
     values = sparse.values_or_ones()
     return _gspmm(reduce, compute, sparse.has_value, idx, values, dense)
 
