@@ -10,6 +10,11 @@ from dgsparse_tpu.nn.gcn import (
 )
 from dgsparse_tpu.nn.gin import GIN, GINConv, MLP
 from dgsparse_tpu.nn.gat import GAT, GATConv
+from dgsparse_tpu.nn.sparse_conv import (
+    SparseConv3d,
+    SparseConvBlock,
+    SubMConv3d,
+)
 
 __all__ = [
     "GCN",
@@ -19,6 +24,9 @@ __all__ = [
     "GAT",
     "GATConv",
     "MLP",
+    "SubMConv3d",
+    "SparseConv3d",
+    "SparseConvBlock",
     "gcn_norm_from_edge_index",
     "get_gcn_dcsr_from_edge_index",
 ]

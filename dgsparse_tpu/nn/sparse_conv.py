@@ -1,0 +1,77 @@
+"""Sparse 3D convolution layers over SparseConvTensor.
+
+The reference exposes spconv only as a raw op (torch.ops.dgsparse_spconv,
+src/spconv.cpp:74) with rulebooks passed by hand; these flax modules carry
+the rulebook cache on the SparseConvTensor (the design the reference's
+header comment sketches, src/spconv.cpp:11-17) and give a usable layer API:
+SubMConv3d (submanifold, stride 1) and SparseConv3d (strided/downsampling).
+"""
+
+from typing import Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dgsparse_tpu.ops.spconv import SparseConvTensor, spconv
+
+
+class SubMConv3d(nn.Module):
+    """Submanifold sparse conv: output sites == input sites."""
+
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+
+    @nn.compact
+    def __call__(self, st: SparseConvTensor) -> SparseConvTensor:
+        plan, _ = st.plan_for(self.kernel_size, 1,
+                              (self.kernel_size // 2
+                               if isinstance(self.kernel_size, int) else
+                               tuple(k // 2 for k in self.kernel_size)))
+        c_in = st.features.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (plan.k_vol, c_in, self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        out = spconv(st.features, w, plan) + b
+        return st.replace(features=out)
+
+
+class SparseConv3d(nn.Module):
+    """Strided sparse conv (downsampling): generates new output sites."""
+
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+    stride: Union[int, Tuple[int, int, int]] = 2
+    padding: Union[int, Tuple[int, int, int]] = 1
+
+    @nn.compact
+    def __call__(self, st: SparseConvTensor) -> SparseConvTensor:
+        plan, out_coords = st.plan_for(self.kernel_size, self.stride,
+                                       self.padding)
+        c_in = st.features.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (plan.k_vol, c_in, self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        out = spconv(st.features, w, plan) + b
+        st_strides = tuple(
+            -(-s // k) for s, k in zip(
+                st.spatial_shape,
+                (self.stride,) * 3 if isinstance(self.stride, int)
+                else self.stride))
+        new = SparseConvTensor(out, out_coords, st_strides)
+        return new
+
+
+class SparseConvBlock(nn.Module):
+    """SubM conv -> layernorm -> relu, the standard point-cloud block."""
+
+    out_channels: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, st: SparseConvTensor) -> SparseConvTensor:
+        st = SubMConv3d(self.out_channels, self.kernel_size)(st)
+        f = nn.LayerNorm()(st.features)
+        return st.replace(features=nn.relu(f))

@@ -55,6 +55,9 @@ class SpConvPlan:
     imap: jax.Array          # [sum_nnz_q] int32, -1 = padding
     omap: jax.Array          # [sum_nnz_q] int32
     widx: jax.Array          # [sum_nnz_q] int32 kernel-offset id
+    o2i: jax.Array           # [k_vol, num_out] int32 input id per (offset,
+                             # output), -1 = miss — the gather-only forward map
+    i2o: jax.Array           # [k_vol, num_in] int32 inverse map for backward
     knnz: tuple              # static per-offset true pair counts
     kpos: tuple              # static exclusive scan of knnz
     qkpos: tuple             # static exclusive scan of quantized counts
@@ -65,16 +68,13 @@ class SpConvPlan:
     quant: int = 128
 
     def tree_flatten(self):
-        return (self.imap, self.omap, self.widx), (
+        return (self.imap, self.omap, self.widx, self.o2i, self.i2o), (
             self.knnz, self.kpos, self.qkpos, self.num_out, self.num_in,
             self.k_vol, self.separate_mid, self.quant)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        imap, omap, widx = children
-        knnz, kpos, qkpos, num_out, num_in, k_vol, separate_mid, quant = aux
-        return cls(imap, omap, widx, knnz, kpos, qkpos, num_out, num_in,
-                   k_vol, separate_mid, quant)
+        return cls(*children, *aux)
 
 
 def _encode(coords: np.ndarray, dims: np.ndarray) -> np.ndarray:
@@ -167,6 +167,16 @@ def build_rulebook(
         omaps.append(out_ids[hit].astype(np.int32))
         knnz.append(int(hit.sum()))
 
+    # Dense per-offset maps. Because every (output, offset) has at most ONE
+    # input voxel, the conv is expressible as pure masked row-gathers in both
+    # directions — no scatter anywhere, which is the TPU-native formulation
+    # of the reference's fused gather-GEMM-scatter (include/cuda/spconv.cuh).
+    o2i = np.full((k_vol, max(num_out, 1)), -1, np.int32)
+    i2o = np.full((k_vol, max(nnz, 1)), -1, np.int32)
+    for kp in range(k_vol):
+        o2i[kp, omaps[kp]] = imaps[kp]
+        i2o[kp, imaps[kp]] = omaps[kp]
+
     # Quantized concatenation (reference qkpos: 128-aligned offsets so every
     # device tile belongs to exactly one kernel offset).
     imap_q, omap_q, widx_q = [], [], []
@@ -191,6 +201,8 @@ def build_rulebook(
                          np.empty(0, np.int32)),
         widx=jnp.asarray(np.concatenate(widx_q) if widx_q else
                          np.empty(0, np.int32)),
+        o2i=jnp.asarray(o2i),
+        i2o=jnp.asarray(i2o),
         knnz=tuple(knnz),
         kpos=tuple(kpos),
         qkpos=tuple(qkpos),
@@ -203,46 +215,85 @@ def build_rulebook(
     return plan, out_coords.astype(np.int32)
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
 def spconv(
     features: jax.Array,      # [nnz_in, C_in]
     kernel: jax.Array,        # [k_vol, C_in, C_out]
     plan: SpConvPlan,
 ) -> jax.Array:
-    """Fused sparse conv forward (reference: spconv_fwd_fused,
+    """Fused sparse conv (reference: spconv_fwd_fused,
     src/cuda/spconv_cuda.cu:18-187). Returns [num_out, C_out].
 
-    Per-offset: gather rows via imap, dense MXU matmul against that offset's
-    [C_in, C_out] weight slice, scatter-add via omap. Padding pairs carry
-    imap == -1 and are masked to zero. The center tap under separate_mid is
-    one dense matmul (out rows == in rows for submanifold convs).
+    TPU-native formulation: every (output, offset) pair has at most one
+    input voxel, so the conv is `out = sum_k mask_k * (X W_k)[o2i_k]` —
+    dense MXU matmuls plus masked row-gathers, with NO scatter on either
+    the forward or backward path (the backward gathers through the inverse
+    map i2o). The center tap under separate_mid is one plain dense matmul
+    over all points, mirroring the reference's single cuBLAS GEMM
+    (src/cuda/spconv_cuda.cu:44-83).
     """
+    return _spconv_fwd_impl(features, kernel, plan)
+
+
+def _spconv_fwd_impl(features, kernel, plan):
     c_out = kernel.shape[-1]
+    mid = (plan.k_vol - 1) // 2
+    # All-offset projection in one batched MXU einsum: H[k] = X @ W[k].
+    h = jnp.einsum("ni,kio->kno", features, kernel,
+                   preferred_element_type=jnp.float32).astype(features.dtype)
     out = jnp.zeros((plan.num_out, c_out), features.dtype)
-
     if plan.separate_mid:
-        mid = (plan.k_vol - 1) // 2
-        out = out + jnp.dot(features, kernel[mid],
-                            preferred_element_type=jnp.float32
-                            ).astype(features.dtype)
-
-    total_q = int(plan.qkpos[-1])
-    if total_q:
-        valid = (plan.imap >= 0)[:, None]
-        gathered = jnp.where(
-            valid, jnp.take(features, jnp.maximum(plan.imap, 0), axis=0), 0)
-        # One batched matmul over Q-tiles: every tile has a single widx, so
-        # gather the per-tile weight and einsum — [T, Q, C_in] x [T, C_in,
-        # C_out]. This keeps the MXU batched instead of k_vol tiny matmuls.
-        q = plan.quant
-        t = total_q // q
-        g = gathered.reshape(t, q, -1)
-        w_t = jnp.take(kernel, plan.widx[::q], axis=0)      # [T, C_in, C_out]
-        contrib = jnp.einsum(
-            "tqi,tio->tqo", g, w_t,
-            preferred_element_type=jnp.float32).astype(features.dtype)
-        out = out.at[plan.omap].add(
-            jnp.where(valid, contrib.reshape(total_q, c_out), 0))
+        out = out + h[mid]  # submanifold: out rows == in rows
+    for kp in range(plan.k_vol):
+        if plan.separate_mid and kp == mid:
+            continue
+        if plan.knnz[kp] == 0:
+            continue
+        idx = plan.o2i[kp]                      # [num_out], -1 miss
+        hit = (idx >= 0)[:, None]
+        out = out + jnp.where(hit, jnp.take(h[kp], jnp.maximum(idx, 0),
+                                            axis=0), 0)
     return out
+
+
+def _spconv_vjp_fwd(features, kernel, plan):
+    return _spconv_fwd_impl(features, kernel, plan), (features, kernel, plan)
+
+
+def _spconv_vjp_bwd(residuals, g):
+    """dX, dW via the inverse maps (reference: spconv_bwd_fused,
+    src/cuda/spconv_cuda.cu:189-253): d_H[k] = mask * g[i2o_k] (a gather),
+    dX = sum_k d_H[k] W[k]^T, dW[k] = X^T d_H[k] — all dense MXU."""
+    features, kernel, plan = residuals
+    mid = (plan.k_vol - 1) // 2
+    d_h = []
+    for kp in range(plan.k_vol):
+        if plan.separate_mid and kp == mid:
+            d_h.append(g.astype(features.dtype))
+            continue
+        if plan.knnz[kp] == 0:
+            d_h.append(jnp.zeros((plan.num_in, g.shape[-1]), features.dtype))
+            continue
+        idx = plan.i2o[kp]                      # [num_in], -1 miss
+        hit = (idx >= 0)[:, None]
+        d_h.append(jnp.where(hit, jnp.take(g, jnp.maximum(idx, 0), axis=0),
+                             0).astype(features.dtype))
+    d_h = jnp.stack(d_h)                        # [k_vol, num_in, C_out]
+    d_features = jnp.einsum(
+        "kno,kio->ni", d_h, kernel,
+        preferred_element_type=jnp.float32).astype(features.dtype)
+    d_kernel = jnp.einsum(
+        "ni,kno->kio", features, d_h,
+        preferred_element_type=jnp.float32).astype(kernel.dtype)
+    d_plan = jax.tree.map(
+        lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), plan)
+    return d_features, d_kernel, d_plan
+
+
+spconv.defvjp(_spconv_vjp_fwd, _spconv_vjp_bwd)
 
 
 class SparseConvTensor:
