@@ -40,6 +40,7 @@ class EdgeTilePlan:
     eperm: jax.Array      # [T*E] int32 original edge position (-1 padding)
     lrow: jax.Array       # [T*E] int32 local row within block (0 padding)
     tile_rb: jax.Array    # [T] int32 owning row block per tile
+    inv_eperm: jax.Array  # [nnz] int32 plan slot of each original edge
     num_tiles: int
     edge_tile: int        # E
     row_block: int        # R
@@ -49,7 +50,8 @@ class EdgeTilePlan:
     nnz: int
 
     def tree_flatten(self):
-        return (self.cols, self.eperm, self.lrow, self.tile_rb), (
+        return (self.cols, self.eperm, self.lrow, self.tile_rb,
+                self.inv_eperm), (
             self.num_tiles, self.edge_tile, self.row_block,
             self.num_row_blocks, self.num_rows, self.num_cols, self.nnz)
 
@@ -63,6 +65,13 @@ class EdgeTilePlan:
 
     def pad_ratio(self) -> float:
         return self.padded_edges / max(self.nnz, 1)
+
+
+def _invert_eperm(eperm: np.ndarray, nnz: int) -> np.ndarray:
+    inv = np.zeros(max(nnz, 1), np.int32)
+    slots = np.nonzero(np.asarray(eperm) >= 0)[0]
+    inv[np.asarray(eperm)[slots]] = slots
+    return inv
 
 
 def build_edge_tile_plan(
@@ -90,6 +99,7 @@ def build_edge_tile_plan(
             return EdgeTilePlan(
                 cols=jnp.asarray(cols), eperm=jnp.asarray(eperm),
                 lrow=jnp.asarray(lrow), tile_rb=jnp.asarray(tile_rb),
+                inv_eperm=jnp.asarray(_invert_eperm(eperm, nnz)),
                 num_tiles=len(tile_rb), edge_tile=edge_tile,
                 row_block=row_block, num_row_blocks=num_rb, num_rows=m,
                 num_cols=num_cols, nnz=nnz)
@@ -126,6 +136,7 @@ def build_edge_tile_plan(
         eperm=jnp.asarray(eperm),
         lrow=jnp.asarray(lrow),
         tile_rb=jnp.asarray(tile_rb),
+        inv_eperm=jnp.asarray(_invert_eperm(eperm, nnz)),
         num_tiles=len(tile_rb),
         edge_tile=edge_tile,
         row_block=row_block,

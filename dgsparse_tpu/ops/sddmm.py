@@ -28,10 +28,19 @@ def _int_zero(x):
     return np.zeros(x.shape, dtype=_FLOAT0)
 
 
+def _use_esc(plan, nnz) -> bool:
+    return (plan is not None and jax.default_backend() == "tpu"
+            and nnz >= 4096 and plan.pad_ratio() <= 4.0)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _sddmm(reduce: ReduceOp, num_rows: int, num_cols: int, idx, d1, d2):
-    rowptr, col, coo_row, _, _, _ = idx
+    rowptr, col, coo_row, _, _, _, plan_fwd, _ = idx
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
+    if _use_esc(plan_fwd, col.shape[0]):
+        from dgsparse_tpu.kernels.pallas_sddmm import sddmm_esc
+
+        return sddmm_esc(plan_fwd, d1, d2, reduce, degrees)
     return kx.sddmm(coo_row, col, d1, d2, reduce, degrees)
 
 
@@ -41,29 +50,35 @@ def _sddmm_fwd(reduce, num_rows, num_cols, idx, d1, d2):
 
 def _sddmm_bwd(reduce, num_rows, num_cols, residuals, g):
     idx, d1, d2 = residuals
-    rowptr, col, coo_row, colptr, row_csc, perm = idx
+    rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd = idx
     nnz = col.shape[0]
     if reduce == ReduceOp.MEAN:
         deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1).astype(g.dtype)
         g = g / jnp.take(deg, coo_row)
-    # d_d1[r] = sum_{e:(r,c)} g[e] * d2[c] — sorted row-segment scatter.
-    d_d1 = jax.ops.segment_sum(
-        jnp.take(d2, col, axis=0) * g[:, None],
-        coo_row,
-        num_segments=num_rows,
-        indices_are_sorted=True,
-    ).astype(d1.dtype)
-    # d_d2[c] = sum_{e:(r,c)} g[e] * d1[r] — via the cached CSC view so the
-    # scatter is sorted too.
-    csc_col = expand_rowidx = expand_rowptr(colptr, nnz)
-    g_csc = jnp.take(g, perm)
-    d_d2 = jax.ops.segment_sum(
-        jnp.take(d1, row_csc, axis=0) * g_csc[:, None],
-        csc_col,
-        num_segments=num_cols,
-        indices_are_sorted=True,
-    ).astype(d2.dtype)
-    return tuple(_int_zero(a) for a in idx), d_d1, d_d2
+    # Both gradients are SpMMs with the cotangent as edge values:
+    # d_d1 = A(g) @ d2 and d_d2 = A(g)^T @ d1 — routed through the ESC
+    # Pallas kernel when available.
+    if _use_esc(plan_fwd, nnz):
+        from dgsparse_tpu.kernels.pallas_spmm import spmm_esc
+
+        d_d1 = spmm_esc(plan_fwd, g, d2).astype(d1.dtype)
+        d_d2 = spmm_esc(plan_bwd, jnp.take(g, perm), d1).astype(d2.dtype)
+    else:
+        d_d1 = jax.ops.segment_sum(
+            jnp.take(d2, col, axis=0) * g[:, None],
+            coo_row,
+            num_segments=num_rows,
+            indices_are_sorted=True,
+        ).astype(d1.dtype)
+        csc_col = expand_rowptr(colptr, nnz)
+        g_csc = jnp.take(g, perm)
+        d_d2 = jax.ops.segment_sum(
+            jnp.take(d1, row_csc, axis=0) * g_csc[:, None],
+            csc_col,
+            num_segments=num_cols,
+            indices_are_sorted=True,
+        ).astype(d2.dtype)
+    return jax.tree.map(_int_zero, idx), d_d1, d_d2
 
 
 _sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)
@@ -78,7 +93,7 @@ def sddmm(sparse: SparseTensor, d1: jax.Array, d2: jax.Array,
     reduce = as_reduce(reduce)
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
-           st.csr2csc())
+           st.csr2csc(), st.plan(), st.plan(transpose=True))
     m, n = sparse.sparse_sizes()
     return _sddmm(reduce, m, n, idx, d1, d2)
 

@@ -105,10 +105,18 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1).astype(g.dtype)
             g = g / deg[:, None]
         # d_values = SDDMM(grad, dense): per-edge dot (src/spmm.cpp:66).
-        if has_value:
-            d_values = kx.sddmm(coo_row, col, g, dense).astype(values.dtype)
-        else:
+        alg0 = _resolve_algorithm(algorithm, plan_fwd, nnz, ReduceOp.SUM)
+        use_pallas = (alg0 in (Algorithm.PALLAS_ROW_TILE,
+                               Algorithm.PALLAS_EDGE_TILE)
+                      and plan_fwd is not None)
+        if not has_value:
             d_values = jnp.zeros_like(values)
+        elif use_pallas:
+            from dgsparse_tpu.kernels.pallas_sddmm import sddmm_esc
+
+            d_values = sddmm_esc(plan_fwd, g, dense).astype(values.dtype)
+        else:
+            d_values = kx.sddmm(coo_row, col, g, dense).astype(values.dtype)
         # d_dense = A^T · grad via cached CSC (src/spmm.cpp:72-74), on the
         # same kernel path as the forward (transpose plan for Pallas).
         alg = _resolve_algorithm(algorithm, plan_bwd, nnz, ReduceOp.SUM)
