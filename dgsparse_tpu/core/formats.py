@@ -142,14 +142,27 @@ class Storage:
         # XLA fallback kernels are used then.
         self._plan_fwd = None
         self._plan_bwd = None
+        self._bell_fwd = None
+        self._bell_bwd = None
         if concrete and nnz > 0:
-            from dgsparse_tpu.core.planner import build_edge_tile_plan
+            from dgsparse_tpu.core.planner import (build_bell_plan,
+                                                   build_edge_tile_plan)
 
+            colptr_np = np.asarray(jax.device_get(self._colptr))
+            row_csc_np = np.asarray(jax.device_get(self._row_csc))
             self._plan_fwd = build_edge_tile_plan(
                 rowptr_np, col_np, num_cols)
             self._plan_bwd = build_edge_tile_plan(
-                np.asarray(jax.device_get(self._colptr)),
-                np.asarray(jax.device_get(self._row_csc)), num_rows)
+                colptr_np, row_csc_np, num_rows)
+            # BELL 2D plans only pay off on dense-ish structures; gate on
+            # average degree so hyper-sparse graphs skip the build cost.
+            if nnz >= 4096 and nnz / max(num_rows, 1) >= 16:
+                bell = build_bell_plan(rowptr_np, col_np, num_cols)
+                if bell.pad_ratio() <= 3.0:
+                    self._bell_fwd = bell
+                bell_t = build_bell_plan(colptr_np, row_csc_np, num_rows)
+                if bell_t.pad_ratio() <= 3.0:
+                    self._bell_bwd = bell_t
 
     # --- reference-parity accessors (dgsparse/storage.py) ---
     def rowptr(self) -> jax.Array:
@@ -199,6 +212,10 @@ class Storage:
         """Edge-tile plan for the Pallas kernels (None if built under jit)."""
         return self._plan_bwd if transpose else self._plan_fwd
 
+    def bell_plan(self, transpose: bool = False):
+        """Blocked-ELL 2D plan (None unless the structure is dense enough)."""
+        return self._bell_bwd if transpose else self._bell_fwd
+
     # --- pytree protocol ---
     def tree_flatten(self):
         children = (
@@ -211,6 +228,8 @@ class Storage:
             self._coo_row,
             self._plan_fwd,
             self._plan_bwd,
+            self._bell_fwd,
+            self._bell_bwd,
         )
         aux = (self._num_rows, self._num_cols, self._nnz)
         return children, aux
@@ -228,6 +247,8 @@ class Storage:
             obj._coo_row,
             obj._plan_fwd,
             obj._plan_bwd,
+            obj._bell_fwd,
+            obj._bell_bwd,
         ) = children
         obj._num_rows, obj._num_cols, obj._nnz = aux
         return obj
@@ -341,6 +362,7 @@ class SparseTensor:
         st._colptr, st._row_csc = src._colptr, src._row_csc
         st._csr2csc, st._coo_row = src._csr2csc, src._coo_row
         st._plan_fwd, st._plan_bwd = src._plan_fwd, src._plan_bwd
+        st._bell_fwd, st._bell_bwd = src._bell_fwd, src._bell_bwd
         st._num_rows, st._num_cols, st._nnz = (
             src._num_rows,
             src._num_cols,
@@ -377,6 +399,7 @@ class SparseTensor:
         st._csr2csc = inv
         st._coo_row = coo_row_t
         st._plan_fwd, st._plan_bwd = src._plan_bwd, src._plan_fwd
+        st._bell_fwd, st._bell_bwd = src._bell_bwd, src._bell_fwd
         st._num_rows, st._num_cols = src._num_cols, src._num_rows
         st._nnz = src._nnz
         obj.storage = st

@@ -147,6 +147,126 @@ def build_edge_tile_plan(
     )
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BellPlan:
+    """Blocked-ELL plan: 2D (row-block x column-window) tiles for the fully
+    in-MXU BELL kernel. Every tile's edges live inside one 128-row output
+    block AND one column window, so both the gather (one-hot [E, C] x
+    B_window) and the scatter (one-hot [R, E] x contrib) run on the MXU
+    with no random memory access at all. Only viable when cells fill —
+    pad_ratio() gates the AUTO heuristic."""
+
+    lcol: jax.Array       # [T*E] col - window_base (0 padding)
+    lrow: jax.Array       # [T*E] row - block_base (0 padding)
+    eperm: jax.Array      # [T*E] original edge position (-1 padding)
+    tile_rb: jax.Array    # [T] row block per tile (nondecreasing)
+    tile_cw: jax.Array    # [T] column window per tile
+    num_tiles: int
+    edge_tile: int
+    row_block: int
+    col_window: int
+    num_row_blocks: int
+    num_col_windows: int
+    num_rows: int
+    num_cols: int
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.lcol, self.lrow, self.eperm, self.tile_rb,
+                self.tile_cw), (
+            self.num_tiles, self.edge_tile, self.row_block, self.col_window,
+            self.num_row_blocks, self.num_col_windows, self.num_rows,
+            self.num_cols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def padded_edges(self) -> int:
+        return self.num_tiles * self.edge_tile
+
+    def pad_ratio(self) -> float:
+        return self.padded_edges / max(self.nnz, 1)
+
+
+def build_bell_plan(
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    num_cols: int,
+    edge_tile: int = 128,
+    row_block: int = 128,
+    col_window: int = 128,
+) -> BellPlan:
+    """2D-tile the CSR structure: per row block, edges sorted by column and
+    split at column-window boundaries; each (block, window) cell padded to a
+    multiple of edge_tile. Empty row blocks get one all-padding tile so
+    their output block still zero-initializes."""
+    rowptr = np.asarray(jax.device_get(rowptr))
+    col = np.asarray(jax.device_get(col))
+    m = len(rowptr) - 1
+    nnz = len(col)
+    num_rb = max(-(-m // row_block), 1)
+    num_cw = max(-(-num_cols // col_window), 1)
+    coo_row = np.repeat(np.arange(m, dtype=np.int32), np.diff(rowptr))
+
+    lcol_l, lrow_l, perm_l, trb_l, tcw_l = [], [], [], [], []
+    for rb in range(num_rb):
+        lo = int(rowptr[min(rb * row_block, m)])
+        hi = int(rowptr[min((rb + 1) * row_block, m)])
+        e = hi - lo
+        if e == 0:
+            lcol_l.append(np.zeros(edge_tile, np.int32))
+            lrow_l.append(np.zeros(edge_tile, np.int32))
+            perm_l.append(np.full(edge_tile, -1, np.int32))
+            trb_l.append(np.array([rb], np.int32))
+            tcw_l.append(np.array([0], np.int32))
+            continue
+        seg_cols = col[lo:hi]
+        order = np.argsort(seg_cols, kind="stable")
+        sc = seg_cols[order]
+        sr = coo_row[lo:hi][order] - rb * row_block
+        sp = (lo + order).astype(np.int32)
+        windows = sc // col_window
+        # split indices at window boundaries
+        bounds = np.nonzero(np.diff(windows))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [e]])
+        for s, t in zip(starts, ends):
+            cnt = t - s
+            n_tiles = -(-cnt // edge_tile)
+            padded = n_tiles * edge_tile
+            lc = np.zeros(padded, np.int32)
+            lr = np.zeros(padded, np.int32)
+            p = np.full(padded, -1, np.int32)
+            lc[:cnt] = sc[s:t] - windows[s] * col_window
+            lr[:cnt] = sr[s:t]
+            p[:cnt] = sp[s:t]
+            lcol_l.append(lc)
+            lrow_l.append(lr)
+            perm_l.append(p)
+            trb_l.append(np.full(n_tiles, rb, np.int32))
+            tcw_l.append(np.full(n_tiles, windows[s], np.int32))
+
+    return BellPlan(
+        lcol=jnp.asarray(np.concatenate(lcol_l)),
+        lrow=jnp.asarray(np.concatenate(lrow_l)),
+        eperm=jnp.asarray(np.concatenate(perm_l)),
+        tile_rb=jnp.asarray(np.concatenate(trb_l)),
+        tile_cw=jnp.asarray(np.concatenate(tcw_l)),
+        num_tiles=int(sum(len(x) for x in trb_l)),
+        edge_tile=edge_tile,
+        row_block=row_block,
+        col_window=col_window,
+        num_row_blocks=num_rb,
+        num_col_windows=num_cw,
+        num_rows=m,
+        num_cols=num_cols,
+        nnz=nnz,
+    )
+
+
 # Plans are keyed on the Storage object identity: sparsity structure is
 # host-static, so each SparseTensor builds its plan once (mirrors the
 # reference caching the CSC view / rulebooks once).

@@ -109,6 +109,119 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _bell_kernel(row_block: int, edge_tile: int, col_window: int,
+                 compute_dtype,
+                 tile_rb_ref, tile_cw_ref, lcol_ref, lrow_ref, vals_ref,
+                 b_ref, out_ref):
+    """Fully in-MXU SpMM tile: gather one-hot x B window, then scatter
+    one-hot x contributions — zero random memory access (the blocked-ELL
+    formulation from BASELINE.json's north star)."""
+    t = pl.program_id(0)
+    lc = lcol_ref[0, 0, :]                                  # [E]
+    lr = lrow_ref[0, 0, :]                                  # [E]
+    v = vals_ref[0, 0, :]                                   # [E]
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (edge_tile, col_window), 1)
+    g = (cols == lc[:, None]).astype(compute_dtype)         # [E, C]
+    gathered = jnp.dot(g, b_ref[:].astype(compute_dtype),
+                       preferred_element_type=jnp.float32)  # [E, F]
+    contrib = gathered * v[:, None]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (row_block, edge_tile), 0)
+    s = (rows == lr[None, :]).astype(compute_dtype)         # [R, E]
+    partial = jnp.dot(s, contrib.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
+
+    prev = tile_rb_ref[jnp.maximum(t - 1, 0)]
+    is_first = jnp.logical_or(t == 0, prev != tile_rb_ref[t])
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = partial.astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = (out_ref[:].astype(jnp.float32) + partial).astype(
+            out_ref.dtype)
+
+
+def spmm_bell(
+    plan,                      # core.planner.BellPlan
+    values: Optional[jax.Array],
+    dense: jax.Array,          # [N, F]
+    reduce: ReduceOp = ReduceOp.SUM,
+    degrees: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """BELL SpMM: no gather/scatter anywhere — both sides are one-hot MXU
+    matmuls over (row-block x column-window) tiles. compute_dtype=bfloat16
+    halves the MXU time (one-hots are exact in bf16; accumulation stays
+    fp32)."""
+    if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
+        raise ValueError("spmm_bell handles SUM/MEAN only")
+    f = dense.shape[-1]
+    f_pad = _round_up(max(f, 128), 128)
+    if f_pad != f:
+        dense = jnp.pad(dense, ((0, 0), (0, f_pad - f)))
+    n_pad = plan.num_col_windows * plan.col_window
+    if n_pad != dense.shape[0]:
+        dense = jnp.pad(dense, ((0, n_pad - dense.shape[0]), (0, 0)))
+
+    valid = plan.eperm >= 0
+    safe_perm = jnp.maximum(plan.eperm, 0)
+    if values is not None:
+        v = jnp.take(values, safe_perm)
+    else:
+        v = jnp.ones_like(safe_perm, dtype=jnp.float32)
+    if reduce == ReduceOp.MEAN:
+        if degrees is None:
+            raise ValueError("degrees required for MEAN")
+        rb = jnp.repeat(plan.tile_rb, plan.edge_tile)
+        rows = rb * plan.row_block + plan.lrow
+        deg = jnp.take(jnp.maximum(degrees, 1),
+                       jnp.minimum(rows, plan.num_rows - 1))
+        v = v / deg.astype(v.dtype)
+    v = jnp.where(valid, v, 0).astype(jnp.float32)
+
+    kernel = functools.partial(_bell_kernel, plan.row_block, plan.edge_tile,
+                               plan.col_window, compute_dtype)
+    e = plan.edge_tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(plan.num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, e), lambda t, rb, cw: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e), lambda t, rb, cw: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e), lambda t, rb, cw: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.col_window, f_pad),
+                         lambda t, rb, cw: (cw[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((plan.row_block, f_pad),
+                               lambda t, rb, cw: (rb[t], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    te = plan.num_tiles
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((plan.num_rows, f_pad), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * te * e * f_pad * (plan.col_window + plan.row_block),
+            bytes_accessed=te * plan.col_window * f_pad * 4
+            + plan.num_rows * f_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(plan.tile_rb, plan.tile_cw,
+      plan.lcol.reshape(te, 1, e), plan.lrow.reshape(te, 1, e),
+      v.reshape(te, 1, e), dense)
+    return out[:, :f] if f_pad != f else out
+
+
 def spmm_esc(
     plan: EdgeTilePlan,
     values: Optional[jax.Array],   # [nnz] in original CSR edge order, or None

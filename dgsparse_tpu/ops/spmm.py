@@ -39,17 +39,22 @@ def _int_zero(x):
 def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                   idx, values, dense):
     """Dispatch the forward kernel. idx = (rowptr, col, coo_row, colptr,
-    row_csc, perm, plan_fwd, plan_bwd)."""
-    rowptr, col, coo_row, _, _, _, plan_fwd, _ = idx
+    row_csc, perm, plan_fwd, plan_bwd, bell_fwd, bell_bwd)."""
+    rowptr, col, coo_row, _, _, _, plan_fwd, _, bell_fwd, _ = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
 
-    algorithm = _resolve_algorithm(algorithm, plan_fwd, col.shape[0], reduce)
-    if algorithm == Algorithm.XLA_SEGMENT:
-        return kx.spmm_forward(coo_row, col, vals, dense, num_rows, reduce,
-                               degrees)
-    if algorithm in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE):
+    algorithm = _resolve_algorithm(algorithm, plan_fwd, bell_fwd,
+                                   col.shape[0], reduce)
+    if algorithm == Algorithm.PALLAS_BELL and bell_fwd is not None \
+            and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+        from dgsparse_tpu.kernels import pallas_spmm as kp
+
+        out = kp.spmm_bell(bell_fwd, vals, dense, reduce, degrees)
+        return out.astype(dense.dtype), None
+    if algorithm in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE,
+                     Algorithm.PALLAS_BELL):
         if plan_fwd is None or reduce in (ReduceOp.MAX, ReduceOp.MIN):
             # No plan (structure built under jit) or argmax needed: the XLA
             # segment path is the only one carrying those semantics.
@@ -58,26 +63,25 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
         return kp.spmm_esc(plan_fwd, vals, dense, reduce, degrees), None
-    raise ValueError(f"unknown algorithm {algorithm}")
+    return kx.spmm_forward(coo_row, col, vals, dense, num_rows, reduce,
+                           degrees)
 
 
-def _resolve_algorithm(algorithm: Algorithm, plan, nnz: int,
+def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
                        reduce: ReduceOp) -> Algorithm:
     """AUTO heuristic (≈ gespmmAlgSel, src/ge-spmm/gespmm.cc:13-24): the
-    Pallas edge-tile kernel when a plan exists and the structure isn't
-    degenerate; the XLA segment path otherwise (and always for MAX/MIN,
-    which need argmax residuals — like the reference GE-SpMM lib, the fast
-    path is sum-only)."""
+    fully-MXU BELL kernel when the structure is dense enough to tile 2D,
+    else the Pallas edge-tile kernel when a plan exists, else the XLA
+    segment path (and always XLA for MAX/MIN, which need argmax residuals —
+    like the reference GE-SpMM lib, the fast paths are sum-only)."""
     if algorithm != Algorithm.AUTO:
         return algorithm
-    if (
-        plan is not None
-        and reduce in (ReduceOp.SUM, ReduceOp.MEAN)
-        and jax.default_backend() == "tpu"
-        and nnz >= 4096
-        and plan.pad_ratio() <= 4.0
-    ):
-        return Algorithm.PALLAS_EDGE_TILE
+    if (reduce in (ReduceOp.SUM, ReduceOp.MEAN)
+            and jax.default_backend() == "tpu" and nnz >= 4096):
+        if bell is not None:
+            return Algorithm.PALLAS_BELL
+        if plan is not None and plan.pad_ratio() <= 4.0:
+            return Algorithm.PALLAS_EDGE_TILE
     return Algorithm.XLA_SEGMENT
 
 
@@ -96,7 +100,8 @@ def _spmm_fwd(reduce, algorithm, has_value, idx, values, dense):
 
 def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
     idx, values, dense, arg_edge = residuals
-    rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd = idx
+    (rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd,
+     bell_fwd, bell_bwd) = idx
     num_rows = rowptr.shape[0] - 1
     nnz = col.shape[0]
 
@@ -105,9 +110,11 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1).astype(g.dtype)
             g = g / deg[:, None]
         # d_values = SDDMM(grad, dense): per-edge dot (src/spmm.cpp:66).
-        alg0 = _resolve_algorithm(algorithm, plan_fwd, nnz, ReduceOp.SUM)
+        alg0 = _resolve_algorithm(algorithm, plan_fwd, bell_fwd, nnz,
+                                  ReduceOp.SUM)
         use_pallas = (alg0 in (Algorithm.PALLAS_ROW_TILE,
-                               Algorithm.PALLAS_EDGE_TILE)
+                               Algorithm.PALLAS_EDGE_TILE,
+                               Algorithm.PALLAS_BELL)
                       and plan_fwd is not None)
         if not has_value:
             d_values = jnp.zeros_like(values)
@@ -118,10 +125,16 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
         else:
             d_values = kx.sddmm(coo_row, col, g, dense).astype(values.dtype)
         # d_dense = A^T · grad via cached CSC (src/spmm.cpp:72-74), on the
-        # same kernel path as the forward (transpose plan for Pallas).
-        alg = _resolve_algorithm(algorithm, plan_bwd, nnz, ReduceOp.SUM)
-        if alg in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE) \
-                and plan_bwd is not None:
+        # same kernel path as the forward (transpose plans for Pallas).
+        alg = _resolve_algorithm(algorithm, plan_bwd, bell_bwd, nnz,
+                                 ReduceOp.SUM)
+        if alg == Algorithm.PALLAS_BELL and bell_bwd is not None:
+            from dgsparse_tpu.kernels import pallas_spmm as kp
+
+            vals_t = jnp.take(values, perm) if has_value else None
+            d_dense = kp.spmm_bell(bell_bwd, vals_t, g).astype(dense.dtype)
+        elif alg in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE,
+                     Algorithm.PALLAS_BELL) and plan_bwd is not None:
             from dgsparse_tpu.kernels import pallas_spmm as kp
 
             vals_t = jnp.take(values, perm) if has_value else None
@@ -175,7 +188,8 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     algorithm = as_algorithm(algorithm)
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
-           st.csr2csc(), st.plan(), st.plan(transpose=True))
+           st.csr2csc(), st.plan(), st.plan(transpose=True),
+           st.bell_plan(), st.bell_plan(transpose=True))
     values = sparse.values_or_ones()
     return _spmm(reduce, algorithm, sparse.has_value, idx, values, dense)
 

@@ -47,12 +47,17 @@ class Algorithm(enum.IntEnum):
       tiles with in-kernel segment reduction via one-hot MXU matmul
       (≈ nnz-balance; the row-block quantization plays the role of the
       reference spconv qkpos 128-quantization).
+    - PALLAS_BELL: fully in-MXU blocked-ELL kernel over (row-block x
+      column-window) 2D tiles — no gather/scatter at all; for dense-ish
+      graphs (≈ the row-caching flagship, src/ge-spmm/csrspmm_rowcaching.cu,
+      re-thought for the MXU).
     """
 
     AUTO = -1
     XLA_SEGMENT = 0
     PALLAS_ROW_TILE = 1
     PALLAS_EDGE_TILE = 2
+    PALLAS_BELL = 3
 
 
 # Integer aliases accepted wherever the reference accepted `algorithm: int`.
