@@ -6,12 +6,16 @@ same bundled graph the reference publishes numbers for. Baseline to beat:
 GE-SpMM alg0 on V100 = 207.23 GFLOP/s (example/README.md:49-50, see
 BASELINE.md).
 
-Prints ONE JSON line to stdout; diagnostics go to stderr.
+Each candidate algorithm is measured in a SUBPROCESS with a timeout so a
+hung device/compile can never take down the whole benchmark; the parent
+prints exactly ONE JSON line (best successful measurement) to stdout.
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -32,7 +36,6 @@ def load_graph():
         rowptr, col, vals, (m, n) = load_mtx(MTX)
         log(f"loaded {MTX}: M={m} nnz={len(col)}")
         return rowptr, col, vals, m, n
-    # Synthetic stand-in with the same shape/nnz statistics.
     from dgsparse_tpu.utils.testing import random_csr
 
     m = n = 62586
@@ -42,37 +45,32 @@ def load_graph():
     return rowptr, col, np.abs(vals), m, n
 
 
-def main():
+def child(algorithm_name: str, out_path: str) -> None:
     import jax
     import jax.numpy as jnp
 
     from dgsparse_tpu import Algorithm, SparseTensor, spmm
     from dgsparse_tpu.utils.testing import spmm_oracle
 
+    alg = Algorithm[algorithm_name]
     rowptr, col, vals, m, n = load_graph()
     nnz = len(col)
     t0 = time.perf_counter()
     sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
                                jnp.asarray(vals), sparse_sizes=(m, n))
-    log(f"construction {time.perf_counter() - t0:.2f}s "
-        f"(pad_ratio={sp.storage.plan().pad_ratio():.2f})")
+    log(f"[{algorithm_name}] construction {time.perf_counter() - t0:.2f}s")
 
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal((n, FEAT)).astype(np.float32))
-
     backend = jax.default_backend()
-    alg = Algorithm.AUTO
     fn = jax.jit(lambda x: spmm(sp, x, "sum", alg))
 
-    # Correctness gate (sampled rows vs numpy oracle), like the reference's
-    # pre-timing check (example/ge-spmm/spmm.cu:133-137).
     out = np.asarray(jax.device_get(fn(b)))
-    ref = spmm_oracle(rowptr[:2049], col[:int(rowptr[2048])],
-                      vals[:int(rowptr[2048])], np.asarray(b), "sum")
+    k = int(rowptr[2048])
+    ref = spmm_oracle(rowptr[:2049], col[:k], vals[:k], np.asarray(b), "sum")
     np.testing.assert_allclose(out[:2048], ref[:2048], rtol=1e-3, atol=1e-3)
-    log(f"correctness OK on {backend}")
+    log(f"[{algorithm_name}] correctness OK on {backend}")
 
-    # 10 warmup + 100 timed iters (example/ge-spmm/spmm.cu:199-216).
     for _ in range(10):
         r = fn(b)
     jax.block_until_ready(r)
@@ -82,17 +80,54 @@ def main():
         r = fn(b)
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / iters
-
     gflops = 2.0 * nnz * FEAT / dt / 1e9
-    log(f"spmm_sum p2p feat={FEAT}: {dt * 1e6:.1f} us, {gflops:.2f} GFLOP/s")
-    print(json.dumps({
-        "metric": f"spmm_sum GFLOP/s (p2p-Gnutella31, feat={FEAT}, fp32, "
-                  f"{backend})",
-        "value": round(gflops, 2),
-        "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / BASELINE_GFLOPS, 4),
-    }))
+    log(f"[{algorithm_name}] {dt * 1e6:.1f} us, {gflops:.2f} GFLOP/s")
+    with open(out_path, "w") as f:
+        json.dump({"alg": algorithm_name, "backend": backend,
+                   "us": dt * 1e6, "gflops": gflops}, f)
+
+
+def main():
+    results = []
+    with tempfile.TemporaryDirectory() as td:
+        for alg, timeout in (("PALLAS_EDGE_TILE", 900),
+                             ("XLA_SEGMENT", 600)):
+            out_path = os.path.join(td, f"{alg}.json")
+            try:
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--child",
+                     alg, out_path],
+                    timeout=timeout, check=False,
+                    stdout=sys.stderr, stderr=sys.stderr,
+                )
+            except subprocess.TimeoutExpired:
+                log(f"[{alg}] TIMED OUT after {timeout}s")
+            if os.path.exists(out_path):
+                with open(out_path) as f:
+                    results.append(json.load(f))
+
+    if results:
+        best = max(results, key=lambda r: r["gflops"])
+        print(json.dumps({
+            "metric": f"spmm_sum GFLOP/s (p2p-Gnutella31, feat={FEAT}, "
+                      f"fp32, {best['backend']}, alg={best['alg']})",
+            "value": round(best["gflops"], 2),
+            "unit": "GFLOP/s",
+            "vs_baseline": round(best["gflops"] / BASELINE_GFLOPS, 4),
+        }))
+    else:
+        print(json.dumps({
+            "metric": f"spmm_sum GFLOP/s (p2p-Gnutella31, feat={FEAT}, "
+                      f"fp32) — ALL MEASUREMENTS FAILED (device "
+                      f"unavailable)",
+            "value": 0.0,
+            "unit": "GFLOP/s",
+            "vs_baseline": 0.0,
+        }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(sys.argv[2], sys.argv[3])
+    else:
+        main()

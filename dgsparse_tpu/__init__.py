@@ -25,15 +25,33 @@ __version__ = "0.1.0"
 
 from dgsparse_tpu.core.formats import SparseTensor, Storage
 from dgsparse_tpu.core.transform import csr2csc, coo2csr, csr2coo
+from dgsparse_tpu.core import ftransform
 from dgsparse_tpu.ops.types import ReduceOp, ComputeOp, Algorithm
 from dgsparse_tpu.ops.spmm import spmm, spmm_sum, spmm_mean, spmm_max, spmm_min
 from dgsparse_tpu.ops.sddmm import sddmm, sddmm_coo
 from dgsparse_tpu.ops.gspmm import gspmm, GSpMM_u_e, GSpMM_u
 from dgsparse_tpu.ops.edge_softmax import edge_softmax
 
+def version() -> dict:
+    """Build/runtime info (reference parity: dgsparse._C.cuda_version(),
+    src/version.cpp:11-21 — here: jax/backend/native-lib versions)."""
+    import jax
+
+    from dgsparse_tpu import native
+
+    return {
+        "dgsparse_tpu": __version__,
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "native": native.load().dg_version() if native.available() else None,
+    }
+
+
 __all__ = [
     "SparseTensor",
     "Storage",
+    "ftransform",
+    "version",
     "csr2csc",
     "coo2csr",
     "csr2coo",

@@ -10,6 +10,7 @@ from dgsparse_tpu.nn.gcn import (
 )
 from dgsparse_tpu.nn.gin import GIN, GINConv, MLP
 from dgsparse_tpu.nn.gat import GAT, GATConv
+from dgsparse_tpu.nn.sage import SAGE, SAGEConv
 from dgsparse_tpu.nn.sparse_conv import (
     SparseConv3d,
     SparseConvBlock,
@@ -24,6 +25,8 @@ __all__ = [
     "GAT",
     "GATConv",
     "MLP",
+    "SAGE",
+    "SAGEConv",
     "SubMConv3d",
     "SparseConv3d",
     "SparseConvBlock",
