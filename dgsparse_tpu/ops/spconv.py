@@ -145,6 +145,21 @@ def build_rulebook(
     mid = (k_vol - 1) // 2
     separate_mid = bool(submanifold)
 
+    # Native C++ hash-probe path for the submanifold case (the hot one) —
+    # the CPU analog of the reference's GPU hash table
+    # (include/cuda/sparse_mapping.cuh:26-58).
+    if submanifold and all(k % 2 == 1 for k in ks) \
+            and all(p == k // 2 for p, k in zip(pad, ks)) and nnz >= 2048:
+        from dgsparse_tpu import native
+
+        nat = native.rulebook_subm(coords.astype(np.int32), ks,
+                                   tuple(spatial_shape), separate_mid)
+        if nat is not None:
+            imaps, omaps, knnz = nat
+            return _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz,
+                                  separate_mid, quant), \
+                out_coords.astype(np.int32)
+
     imaps, omaps, knnz = [], [], []
     offs = [(i, j, k) for i in range(ks[0]) for j in range(ks[1])
             for k in range(ks[2])]
@@ -167,6 +182,12 @@ def build_rulebook(
         omaps.append(out_ids[hit].astype(np.int32))
         knnz.append(int(hit.sum()))
 
+    return _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz,
+                          separate_mid, quant), out_coords.astype(np.int32)
+
+
+def _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz, separate_mid,
+                   quant) -> SpConvPlan:
     # Dense per-offset maps. Because every (output, offset) has at most ONE
     # input voxel, the conv is expressible as pure masked row-gathers in both
     # directions — no scatter anywhere, which is the TPU-native formulation
@@ -194,7 +215,7 @@ def build_rulebook(
         kpos.append(kpos[-1] + n)
         qkpos.append(qkpos[-1] + nq)
 
-    plan = SpConvPlan(
+    return SpConvPlan(
         imap=jnp.asarray(np.concatenate(imap_q) if imap_q else
                          np.empty(0, np.int32)),
         omap=jnp.asarray(np.concatenate(omap_q) if omap_q else
@@ -203,7 +224,7 @@ def build_rulebook(
                          np.empty(0, np.int32)),
         o2i=jnp.asarray(o2i),
         i2o=jnp.asarray(i2o),
-        knnz=tuple(knnz),
+        knnz=tuple(int(k) for k in knnz),
         kpos=tuple(kpos),
         qkpos=tuple(qkpos),
         num_out=num_out,
@@ -212,7 +233,6 @@ def build_rulebook(
         separate_mid=separate_mid,
         quant=quant,
     )
-    return plan, out_coords.astype(np.int32)
 
 
 from functools import partial
