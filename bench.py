@@ -46,6 +46,9 @@ def load_graph():
 
 
 def child(algorithm_name: str, out_path: str) -> None:
+    from dgsparse_tpu.utils.cache import enable as enable_cache
+
+    enable_cache()
     import jax
     import jax.numpy as jnp
 

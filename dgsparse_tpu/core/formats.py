@@ -118,6 +118,10 @@ class Storage:
         if concrete:
             rowptr_np = np.asarray(jax.device_get(self._rowptr))
             col_np = np.asarray(jax.device_get(self._col))
+            if nnz and int(col_np.max()) >= num_cols:
+                raise ValueError(
+                    f"col index {int(col_np.max())} out of range "
+                    f"[0, {num_cols}) — wrong sparse_sizes?")
 
         if _cached is not None:
             self._colptr, self._row_csc, self._csr2csc, self._coo_row = _cached
@@ -424,6 +428,25 @@ class SparseTensor:
             f"SparseTensor(shape=({m}, {n}), nnz={self.nnz}, "
             f"has_value={self.has_value})"
         )
+
+    def validate(self) -> "SparseTensor":
+        """Check CSR invariants (the dtype/bounds asserts the reference
+        scatters through its C++ layer, e.g. src/cuda/spmm_cuda.cu:387-395);
+        raises ValueError on violation. Host-side; requires concrete arrays."""
+        st = self.storage
+        rowptr = np.asarray(jax.device_get(st.rowptr()))
+        col = np.asarray(jax.device_get(st.col()))
+        m, n = self.sparse_sizes()
+        if rowptr[0] != 0 or rowptr[-1] != self.nnz:
+            raise ValueError("rowptr must start at 0 and end at nnz")
+        if (np.diff(rowptr) < 0).any():
+            raise ValueError("rowptr must be nondecreasing")
+        if len(col) and (col.min() < 0 or col.max() >= n):
+            raise ValueError(f"col indices out of range [0, {n})")
+        if self.has_value and st.values() is not None \
+                and st.values().shape[0] != self.nnz:
+            raise ValueError("values length != nnz")
+        return self
 
     # --- pytree protocol ---
     def tree_flatten(self):

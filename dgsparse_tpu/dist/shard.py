@@ -44,23 +44,37 @@ class ShardedCSR:
     col: jax.Array         # [D, max_nnz] global column ids (0 padding)
     values: jax.Array      # [D, max_nnz] (0 padding)
     local_row: jax.Array   # [D, max_nnz] local row id per edge (0 padding)
+    # Pre-built per-shard ESC plans (tile counts padded to the max shard),
+    # with values already permuted into plan order (structure is static):
+    p_cols: jax.Array      # [D, T*E]
+    p_vals: jax.Array      # [D, T*E] (0 on padding slots)
+    p_lrow: jax.Array      # [D, T, 1, E]
+    p_tile_rb: jax.Array   # [D, T]
     num_shards: int
     rows_per_shard: int
     num_rows: int
     num_cols: int
+    num_tiles: int         # T (max over shards)
+    edge_tile: int
+    row_block: int
 
     def tree_flatten(self):
-        return (self.rowptr, self.col, self.values, self.local_row), (
+        return (self.rowptr, self.col, self.values, self.local_row,
+                self.p_cols, self.p_vals, self.p_lrow, self.p_tile_rb), (
             self.num_shards, self.rows_per_shard, self.num_rows,
-            self.num_cols)
+            self.num_cols, self.num_tiles, self.edge_tile, self.row_block)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
 
-def shard_csr(sp: SparseTensor, num_shards: int) -> ShardedCSR:
-    """Host-side partition of a SparseTensor into row blocks (numpy)."""
+def shard_csr(sp: SparseTensor, num_shards: int,
+              edge_tile: int = 256, row_block: int = 128) -> ShardedCSR:
+    """Host-side partition of a SparseTensor into row blocks (numpy),
+    including per-shard ESC plans for the Pallas local kernel."""
+    from dgsparse_tpu.core.planner import build_edge_tile_plan
+
     rowptr = np.asarray(jax.device_get(sp.storage.rowptr()))
     col = np.asarray(jax.device_get(sp.storage.col()))
     vals = np.asarray(jax.device_get(sp.values_or_ones()))
@@ -77,6 +91,7 @@ def shard_csr(sp: SparseTensor, num_shards: int) -> ShardedCSR:
     col_l = np.zeros((num_shards, max_nnz), np.int32)
     val_l = np.zeros((num_shards, max_nnz), vals.dtype)
     lrow_l = np.zeros((num_shards, max_nnz), np.int32)
+    plans = []
     for d in range(num_shards):
         lo, hi = min(d * rps, m), min((d + 1) * rps, m)
         e0, e1 = int(rowptr[lo]), int(rowptr[hi])
@@ -88,10 +103,43 @@ def shard_csr(sp: SparseTensor, num_shards: int) -> ShardedCSR:
         val_l[d, :k] = vals[e0:e1]
         lrow_l[d, :k] = np.repeat(
             np.arange(hi - lo, dtype=np.int32), np.diff(rowptr[lo:hi + 1]))
+        # rowptr padded to rps rows for the plan
+        rp_pad = np.concatenate([rp_local,
+                                 np.full(rps - (hi - lo), rp_local[-1],
+                                         np.int32)]) \
+            if hi - lo < rps else rp_local
+        plans.append(build_edge_tile_plan(
+            rp_pad.astype(np.int32), col[e0:e1], n, edge_tile, row_block))
+
+    # Pad every shard's plan to the max tile count; padding tiles attach to
+    # the last row block with zero values (pure accumulate of zeros).
+    t_max = max(p.num_tiles for p in plans)
+    te = t_max * edge_tile
+    p_cols = np.zeros((num_shards, te), np.int32)
+    p_vals = np.zeros((num_shards, te), vals.dtype)
+    p_lrow = np.zeros((num_shards, te), np.int32)
+    p_trb = np.zeros((num_shards, t_max), np.int32)
+    for d, p in enumerate(plans):
+        k = p.num_tiles * edge_tile
+        p_cols[d, :k] = np.asarray(p.cols)
+        ep = np.asarray(p.eperm)
+        lv = np.zeros(k, vals.dtype)
+        lo = min(d * rps, m)
+        e0 = int(rowptr[lo])
+        real = ep >= 0
+        lv[real] = vals[e0 + ep[real]]
+        p_vals[d, :k] = lv
+        p_lrow[d, :k] = np.asarray(p.lrow)
+        p_trb[d, :p.num_tiles] = np.asarray(p.tile_rb)
+        p_trb[d, p.num_tiles:] = np.asarray(p.tile_rb)[-1]
     return ShardedCSR(
         rowptr=jnp.asarray(rp_l), col=jnp.asarray(col_l),
         values=jnp.asarray(val_l), local_row=jnp.asarray(lrow_l),
-        num_shards=num_shards, rows_per_shard=rps, num_rows=m, num_cols=n)
+        p_cols=jnp.asarray(p_cols), p_vals=jnp.asarray(p_vals),
+        p_lrow=jnp.asarray(p_lrow.reshape(num_shards, t_max, 1, edge_tile)),
+        p_tile_rb=jnp.asarray(p_trb),
+        num_shards=num_shards, rows_per_shard=rps, num_rows=m, num_cols=n,
+        num_tiles=t_max, edge_tile=edge_tile, row_block=row_block)
 
 
 def spmm_sharded(
@@ -111,26 +159,44 @@ def spmm_sharded(
     rps = sharded.rows_per_shard
     if reduce not in ("sum", "mean"):
         raise ValueError("sharded spmm supports sum/mean")
+    use_pallas = jax.default_backend() == "tpu" or _FORCE_PALLAS[0]
 
-    def local(rowptr, col, values, lrow, x_shard):
+    def local(rowptr, col, values, lrow, pc, pv, pl, prb, x_shard):
         # each arg arrives with a leading shard axis of size 1
         xg = jax.lax.all_gather(x_shard, axis, tiled=True)   # [N_pad, F]
-        contrib = jnp.take(xg, col[0], axis=0) * values[0][:, None]
-        out = jax.ops.segment_sum(contrib, lrow[0], num_segments=rps,
-                                  indices_are_sorted=True)
+        if use_pallas:
+            # ESC: XLA fused gather+scale, one-hot MXU segment matmul.
+            from dgsparse_tpu.kernels.pallas_spmm import segment_matmul
+
+            f = xg.shape[-1]
+            f_pad = -(-max(f, 128) // 128) * 128
+            xp = jnp.pad(xg, ((0, 0), (0, f_pad - f))) if f_pad != f else xg
+            contrib = jnp.take(xp, pc[0], axis=0) * pv[0][:, None]
+            out = segment_matmul(
+                contrib, pl[0].reshape(-1), prb[0], sharded.num_tiles,
+                sharded.edge_tile, sharded.row_block, rps)[:, :f]
+        else:
+            contrib = jnp.take(xg, col[0], axis=0) * values[0][:, None]
+            out = jax.ops.segment_sum(contrib, lrow[0], num_segments=rps,
+                                      indices_are_sorted=True)
         if reduce == "mean":
             deg = rowptr[0, 1:] - rowptr[0, :-1]
             out = out / jnp.maximum(deg, 1).astype(out.dtype)[:, None]
-        return out
+        return out.astype(x.dtype)
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis),) * 8 + (P(axis),),
         out_specs=P(axis),
         check_vma=False,
     )
     return fn(sharded.rowptr, sharded.col, sharded.values,
-              sharded.local_row, x)
+              sharded.local_row, sharded.p_cols, sharded.p_vals,
+              sharded.p_lrow, sharded.p_tile_rb, x)
+
+
+# test hook: force the Pallas local path off-TPU (interpret mode)
+_FORCE_PALLAS = [False]
 
 
 def pad_nodes(x: jax.Array, num_shards: int) -> jax.Array:

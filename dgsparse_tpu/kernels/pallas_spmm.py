@@ -49,8 +49,11 @@ def _segment_matmul_kernel(row_block: int, edge_tile: int,
     lr = lrow_ref[0, 0, :]                                # [E]
     rows = jax.lax.broadcasted_iota(jnp.int32, (row_block, edge_tile), 0)
     s = (rows == lr[None, :]).astype(jnp.float32)         # [R, E]
+    # HIGHEST: Mosaic otherwise lowers f32 matmuls to one bf16 MXU pass,
+    # which rounds the contributions (~4e-3 relative error).
     partial = jnp.dot(s, contrib_ref[:].astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
     prev = tile_rb_ref[jnp.maximum(t - 1, 0)]
     is_first = jnp.logical_or(t == 0, prev != tile_rb_ref[t])
@@ -121,16 +124,22 @@ def _bell_kernel(row_block: int, edge_tile: int, col_window: int,
     lr = lrow_ref[0, 0, :]                                  # [E]
     v = vals_ref[0, 0, :]                                   # [E]
 
+    # f32 mode uses HIGHEST (exact); bf16 mode takes the single-pass MXU
+    # speed and accepts input rounding (the one-hots are exact either way).
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     cols = jax.lax.broadcasted_iota(jnp.int32, (edge_tile, col_window), 1)
     g = (cols == lc[:, None]).astype(compute_dtype)         # [E, C]
     gathered = jnp.dot(g, b_ref[:].astype(compute_dtype),
-                       preferred_element_type=jnp.float32)  # [E, F]
+                       preferred_element_type=jnp.float32,
+                       precision=prec)                      # [E, F]
     contrib = gathered * v[:, None]
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (row_block, edge_tile), 0)
     s = (rows == lr[None, :]).astype(compute_dtype)         # [R, E]
     partial = jnp.dot(s, contrib.astype(compute_dtype),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=prec)
 
     prev = tile_rb_ref[jnp.maximum(t - 1, 0)]
     is_first = jnp.logical_or(t == 0, prev != tile_rb_ref[t])

@@ -43,11 +43,11 @@ class GATConv(nn.Module):
         logits = jnp.take(sd, row, axis=0) + jnp.take(ss, col, axis=0)
         logits = nn.leaky_relu(logits, self.negative_slope)  # [nnz, H]
 
-        outs = []
-        for k in range(self.num_heads):
-            alpha = edge_softmax(adj, logits[:, k])
-            outs.append(spmm_sum(adj.set_values(alpha), h[:, k, :],
-                                 self.algorithm))
+        alpha = edge_softmax(adj, logits)         # [nnz, H] all heads at once
+        outs = [
+            spmm_sum(adj.set_values(alpha[:, k]), h[:, k, :], self.algorithm)
+            for k in range(self.num_heads)
+        ]
         return jnp.concatenate(outs, axis=-1)
 
 

@@ -17,15 +17,16 @@ from dgsparse_tpu.core.formats import SparseTensor
 
 
 def edge_softmax(sparse: SparseTensor, logits: jax.Array) -> jax.Array:
-    """Softmax of `logits` [nnz] grouped by destination row. Returns [nnz]."""
+    """Softmax of `logits` [nnz] or [nnz, ...] (e.g. per attention head)
+    grouped by destination row. Returns the same shape."""
     st = sparse.storage
     row = st.coo_row()
     m = sparse.sparse_sizes()[0]
     row_max = jax.ops.segment_max(logits, row, num_segments=m,
                                   indices_are_sorted=True)
     row_max = jnp.where(jnp.isfinite(row_max), row_max, 0)
-    shifted = logits - jax.lax.stop_gradient(jnp.take(row_max, row))
+    shifted = logits - jax.lax.stop_gradient(jnp.take(row_max, row, axis=0))
     ex = jnp.exp(shifted)
     denom = jax.ops.segment_sum(ex, row, num_segments=m,
                                 indices_are_sorted=True)
-    return ex / jnp.take(jnp.maximum(denom, 1e-38), row)
+    return ex / jnp.take(jnp.maximum(denom, 1e-38), row, axis=0)

@@ -112,7 +112,16 @@ def build_rulebook(
                      spatial_shape[1] + max(ks) + 2,
                      spatial_shape[2] + max(ks) + 2], np.int64)
 
-    in_table = {int(k): i for i, k in enumerate(_encode(coords, dims))}
+    in_keys = _encode(coords, dims)
+    in_order = np.argsort(in_keys)
+    in_keys_sorted = in_keys[in_order]
+
+    def lookup(keys: np.ndarray) -> np.ndarray:
+        """Vectorized hash-table probe: sorted-key searchsorted (-1 miss)."""
+        pos = np.searchsorted(in_keys_sorted, keys)
+        pos = np.minimum(pos, len(in_keys_sorted) - 1)
+        hit = in_keys_sorted[pos] == keys
+        return np.where(hit, in_order[pos], -1).astype(np.int64)
 
     if submanifold:
         out_coords = coords.copy()
@@ -139,7 +148,6 @@ def build_rulebook(
         _, first = np.unique(keys, return_index=True)
         out_coords = cand[np.sort(first)]
 
-    out_table = {int(k): i for i, k in enumerate(_encode(out_coords, dims))}
     num_out = len(out_coords)
 
     mid = (k_vol - 1) // 2
@@ -175,8 +183,7 @@ def build_rulebook(
         valid = (inc >= 0).all(1) & (inc < np.array(spatial_shape)).all(1)
         q = np.concatenate([out_coords[:, :1], inc], 1)[valid]
         out_ids = np.nonzero(valid)[0]
-        keys = _encode(q, dims)
-        in_ids = np.array([in_table.get(int(k), -1) for k in keys], np.int64)
+        in_ids = lookup(_encode(q, dims))
         hit = in_ids >= 0
         imaps.append(in_ids[hit].astype(np.int32))
         omaps.append(out_ids[hit].astype(np.int32))

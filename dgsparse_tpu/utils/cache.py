@@ -1,0 +1,20 @@
+"""Persistent XLA compilation cache setup.
+
+On the tunneled TPU used here, every compile is a remote round-trip that
+can take tens of seconds; enabling JAX's persistent cache makes recompiles
+of identical programs instant across processes. Call early, before first
+compile."""
+
+import os
+
+
+def enable(path: str = "/root/.cache/jax_comp") -> None:
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass

@@ -65,6 +65,26 @@ def test_sharded_backward_matches():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_sharded_pallas_local_matches(reduce):
+    """The ESC Pallas local kernel inside shard_map (interpret on CPU)."""
+    from dgsparse_tpu.dist import shard as shard_mod
+
+    sp, x = make(seed=11)
+    d = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), ("graph",))
+    sharded = shard_csr(sp, d)
+    xp = jax.device_put(pad_nodes(x, d), NamedSharding(mesh, P("graph")))
+    shard_mod._FORCE_PALLAS[0] = True
+    try:
+        out = spmm_sharded(sharded, xp, mesh, reduce=reduce)
+    finally:
+        shard_mod._FORCE_PALLAS[0] = False
+    out = np.asarray(out)[:sp.shape[0]]
+    ref = spmm_sum(sp, x, 0) if reduce == "sum" else spmm_mean(sp, x, 0)
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_gcn_step_runs():
     """A full sharded 2-layer GCN train step compiles and runs on the mesh
     (the shape dryrun_multichip validates)."""
