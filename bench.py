@@ -74,14 +74,23 @@ def child(algorithm_name: str, out_path: str) -> None:
     np.testing.assert_allclose(out[:2048], ref[:2048], rtol=1e-3, atol=1e-3)
     log(f"[{algorithm_name}] correctness OK on {backend}")
 
-    for _ in range(10):
-        r = fn(b)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
+    # Time with an ON-DEVICE loop (lax.fori_loop chained by a scalar
+    # dependency) so per-call host dispatch doesn't pollute the kernel
+    # time — the moral equivalent of the reference's on-GPU event timing
+    # (example/util/sp_util.hpp:141-169).
     iters = 100
-    for _ in range(iters):
-        r = fn(b)
-    jax.block_until_ready(r)
+
+    @jax.jit
+    def timed(s):
+        def body(i, s):
+            out = spmm(sp, b * s, "sum", alg)
+            return 1.0 + 0.0 * out[0, 0]
+
+        return jax.lax.fori_loop(0, iters, body, s)
+
+    jax.block_until_ready(timed(jnp.float32(1.0)))  # warmup/compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(timed(jnp.float32(1.0)))
     dt = (time.perf_counter() - t0) / iters
     gflops = 2.0 * nnz * FEAT / dt / 1e9
     log(f"[{algorithm_name}] {dt * 1e6:.1f} us, {gflops:.2f} GFLOP/s")

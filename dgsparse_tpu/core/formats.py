@@ -158,14 +158,14 @@ class Storage:
                 rowptr_np, col_np, num_cols)
             self._plan_bwd = build_edge_tile_plan(
                 colptr_np, row_csc_np, num_rows)
-            # BELL 2D plans only pay off on dense-ish structures; gate on
-            # average degree so hyper-sparse graphs skip the build cost.
-            if nnz >= 4096 and nnz / max(num_rows, 1) >= 16:
+            # BELL 2D plans only pay off when cells genuinely fill (measured:
+            # at pad 2.4 the ESC take-path still wins on v5e); gate hard.
+            if nnz >= 4096 and nnz / max(num_rows, 1) >= 32:
                 bell = build_bell_plan(rowptr_np, col_np, num_cols)
-                if bell.pad_ratio() <= 3.0:
+                if bell.pad_ratio() <= 1.5:
                     self._bell_fwd = bell
                 bell_t = build_bell_plan(colptr_np, row_csc_np, num_rows)
-                if bell_t.pad_ratio() <= 3.0:
+                if bell_t.pad_ratio() <= 1.5:
                     self._bell_bwd = bell_t
 
     # --- reference-parity accessors (dgsparse/storage.py) ---

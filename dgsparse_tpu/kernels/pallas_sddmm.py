@@ -27,10 +27,8 @@ def _sddmm_kernel(row_block: int, edge_tile: int,
                   tile_rb_ref, lrow_ref, d2g_ref, d1_ref, out_ref):
     lr = lrow_ref[0, 0, :]                                  # [E]
     rows = jax.lax.broadcasted_iota(jnp.int32, (edge_tile, row_block), 1)
-    sT = (rows == lr[:, None]).astype(jnp.float32)          # [E, R]
-    d1e = jnp.dot(sT, d1_ref[:].astype(jnp.float32),
-                  preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)      # [E, F]
+    sT = (rows == lr[:, None]).astype(jnp.bfloat16)         # [E, R] exact
+    d1e = _esc._split_onehot_dot(sT, d1_ref[:])             # [E, F]
     vals = jnp.sum(d1e * d2g_ref[:].astype(jnp.float32), axis=1)
     out_ref[0, 0, :] = vals
 

@@ -15,7 +15,9 @@ import jax
 
 
 def time_fn(fn: Callable, *args, warmup: int = 10, iters: int = 100) -> float:
-    """Median-free mean wall time per call, synchronized (GpuTimer analog)."""
+    """Mean wall time per call, synchronized (GpuTimer analog). Includes
+    host dispatch; prefer time_on_device for pure kernel time on remote/
+    tunneled devices."""
     for _ in range(warmup):
         r = fn(*args)
     jax.block_until_ready(r)
@@ -23,6 +25,28 @@ def time_fn(fn: Callable, *args, warmup: int = 10, iters: int = 100) -> float:
     for _ in range(iters):
         r = fn(*args)
     jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def time_on_device(op: Callable, *args, iters: int = 50) -> float:
+    """Per-iteration time of `op(scale, *args)` looped ON DEVICE inside one
+    jit call (lax.fori_loop; `scale` is a f32 scalar threading a data
+    dependency between iterations — multiply an input by it). Excludes
+    per-call host dispatch — the analog of the reference's on-GPU cudaEvent
+    timing (example/util/sp_util.hpp:141-169)."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(s):
+        def body(i, s):
+            out = op(s, *args)
+            return 1.0 + 0.0 * jnp.ravel(out)[0]
+
+        return jax.lax.fori_loop(0, iters, body, s)
+
+    jax.block_until_ready(run(jnp.float32(1.0)))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(jnp.float32(1.0)))
     return (time.perf_counter() - t0) / iters
 
 

@@ -12,7 +12,7 @@ from dgsparse_tpu.ops.types import ReduceOp
 from dgsparse_tpu.utils.testing import random_csr, spmm_oracle
 
 
-def make(m=300, n=260, feat=64, deg=24.0, seed=0):
+def make(m=300, n=260, feat=64, deg=40.0, seed=0):
     rowptr, col, values = random_csr(m, n, avg_degree=deg, seed=seed,
                                      skew=0.5)
     rng = np.random.default_rng(seed + 1)
@@ -53,7 +53,8 @@ def test_bell_forward_direct(feat, reduce):
                     degrees)
     ref = spmm_oracle(rowptr, col, values, dense,
                       "mean" if reduce == ReduceOp.MEAN else "sum")
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    # hi/lo split-matmul: ~2^-16 relative per term
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=5e-4)
 
 
 def test_bell_bf16_close():
