@@ -25,8 +25,7 @@ native/planner.cpp; this numpy version is the reference and fallback.
 """
 
 import dataclasses
-from functools import lru_cache
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
@@ -265,27 +264,3 @@ def build_bell_plan(
         num_cols=num_cols,
         nnz=nnz,
     )
-
-
-# Plans are keyed on the Storage object identity: sparsity structure is
-# host-static, so each SparseTensor builds its plan once (mirrors the
-# reference caching the CSC view / rulebooks once).
-_PLAN_CACHE: dict = {}
-
-
-def plan_for_storage(storage, transpose: bool = False,
-                     edge_tile: int = 256,
-                     row_block: int = 128) -> EdgeTilePlan:
-    key = (id(storage), transpose, edge_tile, row_block)
-    plan = _PLAN_CACHE.get(key)
-    if plan is None:
-        if transpose:
-            plan = build_edge_tile_plan(
-                storage.colptr(), storage.row(), storage.num_rows,
-                edge_tile, row_block)
-        else:
-            plan = build_edge_tile_plan(
-                storage.rowptr(), storage.col(), storage.num_cols,
-                edge_tile, row_block)
-        _PLAN_CACHE[key] = plan
-    return plan

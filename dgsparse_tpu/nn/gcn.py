@@ -7,7 +7,7 @@ is a flax.linen module whose forward is `Dense -> spmm_sum`, jitted
 end-to-end.
 """
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

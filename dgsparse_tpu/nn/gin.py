@@ -7,7 +7,7 @@ forward (ginconv.py:41-61) — the SparseTensor is built once on the host;
 sparsity structure is static under jit.
 """
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

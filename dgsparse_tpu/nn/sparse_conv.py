@@ -10,7 +10,7 @@ SubMConv3d (submanifold, stride 1) and SparseConv3d (strided/downsampling).
 from typing import Tuple, Union
 
 import flax.linen as nn
-import jax
+
 import jax.numpy as jnp
 
 from dgsparse_tpu.ops.spconv import SparseConvTensor, spconv

@@ -16,7 +16,7 @@ Full custom VJP for every (compute × reduce) pair:
 """
 
 from functools import partial
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
