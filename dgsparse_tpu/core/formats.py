@@ -154,10 +154,14 @@ class Storage:
 
             colptr_np = np.asarray(jax.device_get(self._colptr))
             row_csc_np = np.asarray(jax.device_get(self._row_csc))
+            # sort_cols=False keeps plan slots in CSR (row-major) order so
+            # one plan serves sum/mean (order-independent one-hot) AND
+            # max/min (segmented scan needs contiguous row segments);
+            # measured: XLA row-gather cost is index-order-agnostic.
             self._plan_fwd = build_edge_tile_plan(
-                rowptr_np, col_np, num_cols)
+                rowptr_np, col_np, num_cols, sort_cols=False)
             self._plan_bwd = build_edge_tile_plan(
-                colptr_np, row_csc_np, num_rows)
+                colptr_np, row_csc_np, num_rows, sort_cols=False)
             # BELL 2D plans only pay off when cells genuinely fill (measured:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.
             if nnz >= 4096 and nnz / max(num_rows, 1) >= 32:

@@ -113,7 +113,9 @@ def build_edge_tile_plan(
         padded = n_tiles * edge_tile
         c = np.zeros(padded, np.int32)
         p = np.full(padded, -1, np.int32)
-        lr = np.zeros(padded, np.int32)
+        # padding slots get an out-of-range local row: they match no row of
+        # the one-hot (sum) and form their own segment (max/min)
+        lr = np.full(padded, row_block, np.int32)
         if e:
             seg_cols = col[lo:hi]
             order = np.argsort(seg_cols, kind="stable") if sort_cols \

@@ -55,11 +55,15 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
         return out.astype(dense.dtype), None
     if algorithm in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE,
                      Algorithm.PALLAS_BELL):
-        if plan_fwd is None or reduce in (ReduceOp.MAX, ReduceOp.MIN):
-            # No plan (structure built under jit) or argmax needed: the XLA
-            # segment path is the only one carrying those semantics.
+        if plan_fwd is None:
+            # No plan (structure built under jit): XLA segment path.
             return kx.spmm_forward(coo_row, col, vals, dense, num_rows,
                                    reduce, degrees)
+        if reduce in (ReduceOp.MAX, ReduceOp.MIN):
+            from dgsparse_tpu.kernels.pallas_spmm_maxmin import \
+                spmm_maxmin_esc
+
+            return spmm_maxmin_esc(plan_fwd, vals, dense, reduce)
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
         return kp.spmm_esc(plan_fwd, vals, dense, reduce, degrees), None
@@ -76,9 +80,8 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
     like the reference GE-SpMM lib, the fast paths are sum-only)."""
     if algorithm != Algorithm.AUTO:
         return algorithm
-    if (reduce in (ReduceOp.SUM, ReduceOp.MEAN)
-            and jax.default_backend() == "tpu" and nnz >= 4096):
-        if bell is not None:
+    if jax.default_backend() == "tpu" and nnz >= 4096:
+        if bell is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
             return Algorithm.PALLAS_BELL
         if plan is not None and plan.pad_ratio() <= 4.0:
             return Algorithm.PALLAS_EDGE_TILE

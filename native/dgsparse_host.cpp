@@ -104,7 +104,9 @@ void dg_plan_fill(const int32_t* rowptr, const int32_t* col, int32_t nrow,
       } else {
         cols[slot] = 0;
         eperm[slot] = -1;
-        lrow[slot] = 0;
+        // out-of-range local row: inert for one-hot sum, own segment for
+        // the max/min segmented scan
+        lrow[slot] = row_block;
       }
       ++slot;
     }

@@ -82,7 +82,7 @@ def test_sharded_pallas_local_matches(reduce):
         shard_mod._FORCE_PALLAS[0] = False
     out = np.asarray(out)[:sp.shape[0]]
     ref = spmm_sum(sp, x, 0) if reduce == "sum" else spmm_mean(sp, x, 0)
-    np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-4, atol=1e-4)
 
 
 def test_sharded_gcn_step_runs():

@@ -36,9 +36,11 @@ def test_plan_invariants():
     ep = np.asarray(plan.eperm)
     real = ep[ep >= 0]
     assert sorted(real.tolist()) == list(range(len(col)))
-    # lrow within block bounds
-    assert (np.asarray(plan.lrow) >= 0).all()
-    assert (np.asarray(plan.lrow) < plan.row_block).all()
+    # lrow of real slots within block bounds; padding slots out of range
+    lrow = np.asarray(plan.lrow)
+    assert (lrow[ep >= 0] >= 0).all()
+    assert (lrow[ep >= 0] < plan.row_block).all()
+    assert (lrow[ep < 0] == plan.row_block).all()
     # cols of real slots match the CSR cols
     np.testing.assert_array_equal(np.asarray(plan.cols)[ep >= 0],
                                   col[real])
@@ -57,8 +59,9 @@ def test_segment_matmul_matches_segment_sum():
                          plan.num_rows)
     rows = np.repeat(np.asarray(plan.tile_rb), plan.edge_tile) * \
         plan.row_block + np.asarray(plan.lrow)
+    real = np.asarray(plan.eperm) >= 0
     ref = np.zeros((plan.num_rows, 128), np.float32)
-    np.add.at(ref, rows, contrib)
+    np.add.at(ref, rows[real], contrib[real])
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
@@ -99,8 +102,50 @@ def test_esc_backward_matches_xla_path():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_esc_max_falls_back():
-    sp, rowptr, col, values, dense = make(100, 90, 16, seed=11)
-    out = spmm(sp, jnp.asarray(dense), "max", Algorithm.PALLAS_EDGE_TILE)
-    ref = spmm_oracle(rowptr, col, values, dense, "max")
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_esc_maxmin_kernel(reduce):
+    sp, rowptr, col, values, dense = make(230, 170, 48, seed=11)
+    out = spmm(sp, jnp.asarray(dense), reduce, Algorithm.PALLAS_EDGE_TILE)
+    ref = spmm_oracle(rowptr, col, values, dense, reduce)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_esc_maxmin_backward_matches_xla(reduce):
+    # Integer-valued data: argmax ties are EXACT, so both paths break them
+    # identically (earliest edge) — float near-ties would legitimately pick
+    # different winners across kernels.
+    sp, rowptr, col, values, dense = make(150, 130, 24, seed=13)
+    rng = np.random.default_rng(14)
+    values = rng.integers(1, 6, len(col)).astype(np.float32)
+    dense = rng.integers(-4, 5, dense.shape).astype(np.float32)
+    ct = jnp.asarray(rng.standard_normal((150, 24)).astype(np.float32))
+
+    def loss(v, d, alg):
+        return jnp.vdot(spmm(sp.set_values(v), d, reduce, alg), ct)
+
+    gv_p, gd_p = jax.grad(
+        lambda v, d: loss(v, d, Algorithm.PALLAS_EDGE_TILE),
+        argnums=(0, 1))(jnp.asarray(values), jnp.asarray(dense))
+    gv_x, gd_x = jax.grad(
+        lambda v, d: loss(v, d, Algorithm.XLA_SEGMENT),
+        argnums=(0, 1))(jnp.asarray(values), jnp.asarray(dense))
+    np.testing.assert_allclose(np.asarray(gv_p), np.asarray(gv_x),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gd_p), np.asarray(gd_x),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_esc_maxmin_empty_rows_zero():
+    rowptr = np.array([0, 0, 3, 3, 5], np.int32)
+    col = np.array([0, 1, 2, 1, 3], np.int32)
+    vals = np.array([-1.0, -2.0, -3.0, 2.0, 4.0], np.float32)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(4, 4))
+    dense = jnp.asarray(np.ones((4, 8), np.float32))
+    # plan exists (tiny nnz -> python planner); force pallas
+    out = spmm(sp, dense, "max", Algorithm.PALLAS_EDGE_TILE)
+    ref = spmm_oracle(rowptr, col, vals, np.asarray(dense), "max")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-6)
+    assert np.allclose(np.asarray(out)[0], 0) and \
+        np.allclose(np.asarray(out)[2], 0)
