@@ -268,20 +268,26 @@ def spconv(
 def _spconv_fwd_impl(features, kernel, plan):
     c_out = kernel.shape[-1]
     mid = (plan.k_vol - 1) // 2
-    # All-offset projection in one batched MXU einsum: H[k] = X @ W[k].
-    h = jnp.einsum("ni,kio->kno", features, kernel,
-                   preferred_element_type=jnp.float32).astype(features.dtype)
+    # Per-offset H_k = X @ W[k] (MXU) + masked row-gather, looped so peak
+    # memory stays O(n * C) instead of materializing [k_vol, n, C].
     out = jnp.zeros((plan.num_out, c_out), features.dtype)
     if plan.separate_mid:
-        out = out + h[mid]  # submanifold: out rows == in rows
+        # submanifold center tap: out rows == in rows, one dense matmul
+        # (reference: the cuBLAS GEMM, src/cuda/spconv_cuda.cu:44-83)
+        out = out + jnp.dot(features, kernel[mid],
+                            preferred_element_type=jnp.float32
+                            ).astype(features.dtype)
     for kp in range(plan.k_vol):
         if plan.separate_mid and kp == mid:
             continue
         if plan.knnz[kp] == 0:
             continue
+        h_k = jnp.dot(features, kernel[kp],
+                      preferred_element_type=jnp.float32
+                      ).astype(features.dtype)
         idx = plan.o2i[kp]                      # [num_out], -1 miss
         hit = (idx >= 0)[:, None]
-        out = out + jnp.where(hit, jnp.take(h[kp], jnp.maximum(idx, 0),
+        out = out + jnp.where(hit, jnp.take(h_k, jnp.maximum(idx, 0),
                                             axis=0), 0)
     return out
 
@@ -296,25 +302,27 @@ def _spconv_vjp_bwd(residuals, g):
     dX = sum_k d_H[k] W[k]^T, dW[k] = X^T d_H[k] — all dense MXU."""
     features, kernel, plan = residuals
     mid = (plan.k_vol - 1) // 2
-    d_h = []
+    d_features = jnp.zeros_like(features)
+    d_kernel_parts = []
     for kp in range(plan.k_vol):
         if plan.separate_mid and kp == mid:
-            d_h.append(g.astype(features.dtype))
+            d_h = g.astype(features.dtype)
+        elif plan.knnz[kp] == 0:
+            d_kernel_parts.append(
+                jnp.zeros(kernel.shape[1:], kernel.dtype))
             continue
-        if plan.knnz[kp] == 0:
-            d_h.append(jnp.zeros((plan.num_in, g.shape[-1]), features.dtype))
-            continue
-        idx = plan.i2o[kp]                      # [num_in], -1 miss
-        hit = (idx >= 0)[:, None]
-        d_h.append(jnp.where(hit, jnp.take(g, jnp.maximum(idx, 0), axis=0),
-                             0).astype(features.dtype))
-    d_h = jnp.stack(d_h)                        # [k_vol, num_in, C_out]
-    d_features = jnp.einsum(
-        "kno,kio->ni", d_h, kernel,
-        preferred_element_type=jnp.float32).astype(features.dtype)
-    d_kernel = jnp.einsum(
-        "ni,kno->kio", features, d_h,
-        preferred_element_type=jnp.float32).astype(kernel.dtype)
+        else:
+            idx = plan.i2o[kp]                  # [num_in], -1 miss
+            hit = (idx >= 0)[:, None]
+            d_h = jnp.where(hit, jnp.take(g, jnp.maximum(idx, 0), axis=0),
+                            0).astype(features.dtype)
+        d_features = d_features + jnp.dot(
+            d_h, kernel[kp].T,
+            preferred_element_type=jnp.float32).astype(features.dtype)
+        d_kernel_parts.append(jnp.dot(
+            features.T, d_h,
+            preferred_element_type=jnp.float32).astype(kernel.dtype))
+    d_kernel = jnp.stack(d_kernel_parts)        # one slice per offset
     d_plan = jax.tree.map(
         lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), plan)
     return d_features, d_kernel, d_plan
