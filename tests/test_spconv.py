@@ -130,6 +130,23 @@ def test_backward_finite_and_correct():
                                atol=1e-4)
 
 
+def test_bf16_features_close():
+    """bf16 feature path (the reference's fp16 kernels' analog): matmuls in
+    bf16, f32 accumulation via preferred_element_type."""
+    shape, batch, c_in, c_out = (10, 10, 6), 1, 16, 16
+    coords = random_cloud(120, shape, batch, seed=9)
+    rng = np.random.default_rng(10)
+    feats = rng.standard_normal((len(coords), c_in)).astype(np.float32)
+    kernel = rng.standard_normal((27, c_in, c_out)).astype(np.float32) * 0.1
+    plan, _ = build_rulebook(coords, 3, 1, 1, spatial_shape=shape)
+    out32 = np.asarray(spconv(jnp.asarray(feats), jnp.asarray(kernel), plan))
+    out16 = np.asarray(
+        spconv(jnp.asarray(feats, jnp.bfloat16),
+               jnp.asarray(kernel, jnp.bfloat16), plan).astype(jnp.float32))
+    rel = np.abs(out16 - out32) / (np.abs(out32) + 0.5)
+    assert rel.max() < 0.1, rel.max()
+
+
 def test_sparse_conv_tensor_caches_plans():
     shape = (8, 8, 8)
     coords = random_cloud(60, shape, 1, seed=7)
