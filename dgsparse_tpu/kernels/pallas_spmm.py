@@ -63,7 +63,12 @@ def _segment_matmul_kernel(row_block: int, edge_tile: int,
     lr = lrow_ref[0, 0, :]                                # [E]
     rows = jax.lax.broadcasted_iota(jnp.int32, (row_block, edge_tile), 0)
     s = (rows == lr[None, :]).astype(jnp.bfloat16)        # [R, E] exact 0/1
-    partial = _split_onehot_dot(s, contrib_ref[:])
+    if contrib_ref.dtype == jnp.bfloat16:
+        # already-rounded inputs: one MXU pass loses nothing
+        partial = jnp.dot(s, contrib_ref[:],
+                          preferred_element_type=jnp.float32)
+    else:
+        partial = _split_onehot_dot(s, contrib_ref[:])
 
     prev = tile_rb_ref[jnp.maximum(t - 1, 0)]
     is_first = jnp.logical_or(t == 0, prev != tile_rb_ref[t])

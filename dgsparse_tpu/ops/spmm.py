@@ -80,8 +80,13 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
     like the reference GE-SpMM lib, the fast paths are sum-only)."""
     if algorithm != Algorithm.AUTO:
         return algorithm
+    # MAX/MIN: the Pallas segmented-scan kernel is correct but currently
+    # slower than the XLA path on v5e (see docs/DESIGN.md); opt in
+    # explicitly with Algorithm.PALLAS_EDGE_TILE.
+    if reduce in (ReduceOp.MAX, ReduceOp.MIN):
+        return Algorithm.XLA_SEGMENT
     if jax.default_backend() == "tpu" and nnz >= 4096:
-        if bell is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+        if bell is not None:
             return Algorithm.PALLAS_BELL
         if plan is not None and plan.pad_ratio() <= 4.0:
             return Algorithm.PALLAS_EDGE_TILE
