@@ -281,6 +281,10 @@ def gspmm_esc(
         raise ValueError("gspmm_esc handles SUM/MEAN only")
     f = dense.shape[-1]
     f_pad = _round_up(max(f, 128), 128)
+    if f_pad > 2048:
+        raise ValueError(
+            f"feature width {f} exceeds the single-F-block VMEM budget; "
+            "split features or use Algorithm.XLA_SEGMENT")
     if f_pad != f:
         dense = jnp.pad(dense, ((0, 0), (0, f_pad - f)))
 

@@ -55,6 +55,10 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
         return out.astype(dense.dtype), None
     if algorithm in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE,
                      Algorithm.PALLAS_BELL):
+        if dense.shape[-1] > 2048:
+            # single-F-block VMEM budget; wide features go to XLA
+            return kx.spmm_forward(coo_row, col, vals, dense, num_rows,
+                                   reduce, degrees)
         if plan_fwd is None:
             # No plan (structure built under jit): XLA segment path.
             return kx.spmm_forward(coo_row, col, vals, dense, num_rows,
