@@ -65,6 +65,21 @@ def test_raw_csr_entries():
     np.testing.assert_allclose(np.asarray(out_u), ref_u, rtol=1e-4, atol=1e-5)
 
 
+def test_raw_csr_under_jit():
+    """Storage built from tracers inside jit (concrete=False path): falls
+    back to traced transforms + XLA kernels."""
+    sp, rowptr, col, values, dense = make()
+
+    @jax.jit
+    def f(rowptr_, col_, values_, dense_):
+        return GSpMM_u_e(rowptr_, col_, values_, dense_, "sum", "mul")
+
+    out = f(jnp.asarray(rowptr), jnp.asarray(col), jnp.asarray(values),
+            jnp.asarray(dense))
+    ref = gspmm_oracle(rowptr, col, values, dense, "sum", "mul")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("compute", COMPUTES)
 @pytest.mark.parametrize("reduce", ["sum", "max"])
 def test_backward_vs_autodiff(compute, reduce):
