@@ -14,6 +14,7 @@ from dgsparse_tpu.nn.sage import SAGE, SAGEConv
 from dgsparse_tpu.nn.sparse_conv import (
     SparseConv3d,
     SparseConvBlock,
+    SparseInverseConv3d,
     SubMConv3d,
 )
 
@@ -30,6 +31,7 @@ __all__ = [
     "SubMConv3d",
     "SparseConv3d",
     "SparseConvBlock",
+    "SparseInverseConv3d",
     "gcn_norm_from_edge_index",
     "get_gcn_dcsr_from_edge_index",
 ]

@@ -64,6 +64,33 @@ class SparseConv3d(nn.Module):
         return new
 
 
+class SparseInverseConv3d(nn.Module):
+    """Transposed sparse conv: scatters coarse features back to the exact
+    fine sites of a cached encoder plan (UNet decoder op; no reference
+    equivalent). Pass the SparseConvTensor at the coarse level and the
+    (kernel_size, stride, padding) of the encoder conv whose plan lives on
+    `fine_st`."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, coarse_features, fine_st: SparseConvTensor,
+                 kernel_size=3, stride=2, padding=1) -> SparseConvTensor:
+        from dgsparse_tpu.ops.spconv import inverse_plan
+
+        fwd_plan, _ = fine_st.plan_for(kernel_size, stride, padding)
+        key = ("inv", (kernel_size, stride, padding))
+        if key not in fine_st._plans:
+            fine_st._plans[key] = inverse_plan(fwd_plan)
+        plan = fine_st._plans[key]
+        c_in = coarse_features.shape[-1]
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (plan.k_vol, c_in, self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        out = spconv(coarse_features, w, plan) + b
+        return fine_st.replace(features=out)
+
+
 class SparseConvBlock(nn.Module):
     """SubM conv -> layernorm -> relu, the standard point-cloud block."""
 

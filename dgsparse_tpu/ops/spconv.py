@@ -242,6 +242,32 @@ def _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz, separate_mid,
     )
 
 
+def inverse_plan(plan: SpConvPlan) -> SpConvPlan:
+    """Rulebook of the INVERSE (transposed) convolution: in/out roles swap
+    and kernel offsets mirror — the decoder-side op for UNet architectures
+    (the reference ships MinkUNet spconv fixtures but no inverse op). The
+    inverse of a strided downsample scatters coarse features back to the
+    exact fine sites the encoder saw."""
+    k_vol = plan.k_vol
+    i2o_np = np.asarray(jax.device_get(plan.i2o))
+    knnz = []
+    imaps, omaps = [], []
+    mid = (k_vol - 1) // 2
+    for kp in range(k_vol):
+        mk = k_vol - 1 - kp
+        if plan.separate_mid and kp == mid:
+            knnz.append(0)
+            imaps.append(np.empty(0, np.int32))
+            omaps.append(np.empty(0, np.int32))
+            continue
+        outs = np.nonzero(i2o_np[mk] >= 0)[0].astype(np.int32)
+        imaps.append(i2o_np[mk][outs])
+        omaps.append(outs)
+        knnz.append(len(outs))
+    return _finalize_plan(imaps, omaps, knnz, k_vol, plan.num_in,
+                          plan.num_out, plan.separate_mid, plan.quant)
+
+
 from functools import partial
 
 
