@@ -165,13 +165,16 @@ def spmm_maxmin_esc(
 
     if is_min:
         out = -out
-    # winners on padding slots / empty rows -> sentinel + 0, matching
-    # reference semantics (empty row => 0, E = -1).
-    slot = jnp.clip(gidx.astype(jnp.int32), 0, plan.padded_edges - 1)
-    edge = jnp.take(plan.eperm, slot)                        # -1 on padding
-    nnz = plan.nnz
-    arg_edge = jnp.where(edge >= 0, edge, nnz).astype(jnp.int32)
-    real = jnp.logical_and(jnp.abs(out) < 1e38, arg_edge < nnz)
+    # Winners are returned in PLAN-SLOT space — converting slots to edge ids
+    # here would be an [M, F]-sized gather (~40 ms for p2p at F=128); the
+    # backward (already [M, F]-gather-bound) does the conversion instead.
+    # Padding slots can never win a row that has real edges (they carry
+    # +/-BIG), so |out| >= 1e38 identifies empty rows exactly; empty rows
+    # produce 0 (reference semantics) and the sentinel slot padded_edges.
+    real = jnp.abs(out) < 1e38
     out = jnp.where(real, out, 0).astype(dense.dtype)
-    arg_edge = jnp.where(real, arg_edge, nnz)
-    return out[:, :f], arg_edge[:, :f]
+    arg_slot = jnp.where(real,
+                         jnp.clip(gidx.astype(jnp.int32), 0,
+                                  plan.padded_edges - 1),
+                         plan.padded_edges).astype(jnp.int32)
+    return out[:, :f], arg_slot[:, :f]

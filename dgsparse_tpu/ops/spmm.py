@@ -84,13 +84,8 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
     like the reference GE-SpMM lib, the fast paths are sum-only)."""
     if algorithm != Algorithm.AUTO:
         return algorithm
-    # MAX/MIN: the Pallas segmented-scan kernel is correct but currently
-    # slower than the XLA path on v5e (see docs/DESIGN.md); opt in
-    # explicitly with Algorithm.PALLAS_EDGE_TILE.
-    if reduce in (ReduceOp.MAX, ReduceOp.MIN):
-        return Algorithm.XLA_SEGMENT
     if jax.default_backend() == "tpu" and nnz >= 4096:
-        if bell is not None:
+        if bell is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
             return Algorithm.PALLAS_BELL
         if plan is not None and plan.pad_ratio() <= 4.0:
             return Algorithm.PALLAS_EDGE_TILE
@@ -164,6 +159,22 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
     else:
         # MAX/MIN: gradient flows only through the winning edge per output
         # element (masked variants, src/spmm.cpp:127-134,183-190).
+        # If the forward ran the Pallas kernel, `arg_edge` is in PLAN-SLOT
+        # space (the forward avoids the [M,F] slot->edge gather); convert
+        # here. The dispatch decision is fully static, so recomputing it
+        # reproduces the forward's choice exactly.
+        alg_mm = _resolve_algorithm(algorithm, plan_fwd, bell_fwd, nnz,
+                                    reduce)
+        used_pallas = (alg_mm in (Algorithm.PALLAS_ROW_TILE,
+                                  Algorithm.PALLAS_EDGE_TILE,
+                                  Algorithm.PALLAS_BELL)
+                       and g.shape[-1] <= 2048 and plan_fwd is not None)
+        if used_pallas:
+            te = plan_fwd.padded_edges
+            safe_slot = jnp.minimum(arg_edge, te - 1)
+            edge = jnp.take(plan_fwd.eperm, safe_slot)
+            arg_edge = jnp.where(
+                jnp.logical_and(arg_edge < te, edge >= 0), edge, nnz)
         valid = arg_edge < nnz
         safe_edge = jnp.minimum(arg_edge, nnz - 1)
         win_col = jnp.take(col, safe_edge)            # [M, F]
