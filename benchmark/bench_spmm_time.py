@@ -37,7 +37,7 @@ def main():
     import jax.numpy as jnp
 
     from dgsparse_tpu import SparseTensor, spmm
-    from dgsparse_tpu.utils.bench import spmm_gflops, time_fn
+    from dgsparse_tpu.utils.bench import spmm_gflops, time_on_device
     from dgsparse_tpu.utils.testing import load_mtx, random_csr
 
     graphs = {}
@@ -65,16 +65,16 @@ def main():
             x = jnp.asarray(np.random.default_rng(0)
                             .standard_normal((n, feat)).astype(np.float32))
             for reduce in reduces:
-                fwd = jax.jit(lambda x_: spmm(sp, x_, reduce))
-                t_f = time_fn(fwd, x, warmup=5,
-                              iters=20 if args.quick else 100)
+                iters = 20 if args.quick else 50
+                t_f = time_on_device(
+                    lambda s, x_: spmm(sp, x_ * s, reduce), x, iters=iters)
 
-                def loss(x_):
+                def loss(x_, reduce=reduce):
                     return spmm(sp, x_, reduce).sum()
 
-                fb = jax.jit(jax.grad(loss))
-                t_fb = time_fn(fb, x, warmup=5,
-                               iters=20 if args.quick else 100)
+                grad = jax.grad(loss)
+                t_fb = time_on_device(lambda s, x_: grad(x_ * s), x,
+                                      iters=iters)
                 print(f"{name:16s} {feat:5d} {reduce:>6s} "
                       f"{t_f * 1e6:9.1f} {spmm_gflops(nnz, feat, t_f):9.2f} "
                       f"{t_fb * 1e6:11.1f}")

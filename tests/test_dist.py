@@ -91,3 +91,38 @@ def test_sharded_gcn_step_runs():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_gcn_loss_matches_single_device():
+    """The sharded forward/loss equals the same model computed on one
+    device (replicated math, different partitioning)."""
+    from dgsparse_tpu.dist import gcn as dist_gcn
+
+    m, feat, classes = 96, 12, 4
+    rowptr, col, values = random_csr(m, m, avg_degree=4.0, seed=21,
+                                     with_empty_rows=False)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(np.abs(values)),
+                               sparse_sizes=(m, m))
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((m, feat)).astype(np.float32)
+    y = rng.integers(0, classes, m).astype(np.int32)
+
+    d = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), ("graph",))
+    adj, x_d, y_d, mask_d = dist_gcn.prepare_inputs(mesh, sp, x, y, d)
+    params = dist_gcn.init_params(jax.random.key(3), feat, 16, classes)
+
+    loss_sharded = float(dist_gcn.loss_fn(params, adj, x_d, y_d, mask_d,
+                                          mesh))
+
+    # single-device equivalent with the library spmm
+    from dgsparse_tpu import spmm_sum
+
+    h = jnp.asarray(x) @ params["w1"] + params["b1"]
+    h = jax.nn.relu(spmm_sum(sp, h, 0))
+    logits = spmm_sum(sp, h @ params["w2"] + params["b2"], 0)
+    ls = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(ls, jnp.asarray(y)[:, None], axis=1)[:, 0]
+    loss_single = float(nll.mean())
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
