@@ -148,9 +148,11 @@ class Storage:
         self._plan_bwd = None
         self._bell_fwd = None
         self._bell_bwd = None
+        self._ell_fwd = None
         if concrete and nnz > 0:
             from dgsparse_tpu.core.planner import (build_bell_plan,
-                                                   build_edge_tile_plan)
+                                                   build_edge_tile_plan,
+                                                   build_ell_plan)
 
             colptr_np = np.asarray(jax.device_get(self._colptr))
             row_csc_np = np.asarray(jax.device_get(self._row_csc))
@@ -162,6 +164,14 @@ class Storage:
                 rowptr_np, col_np, num_cols, sort_cols=False)
             self._plan_bwd = build_edge_tile_plan(
                 colptr_np, row_csc_np, num_rows, sort_cols=False)
+            # ELL row-balance plan for degree-regular structures (max_deg
+            # close to avg_deg): skips the segment reduction entirely.
+            if nnz >= 4096:
+                deg_np = np.diff(rowptr_np)
+                max_deg = int(deg_np.max()) if len(deg_np) else 0
+                if max_deg and max_deg * num_rows / nnz <= 1.5:
+                    self._ell_fwd = build_ell_plan(rowptr_np, col_np,
+                                                   num_cols)
             # BELL 2D plans only pay off when cells genuinely fill (measured:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.
             if nnz >= 4096 and nnz / max(num_rows, 1) >= 32:
@@ -220,6 +230,10 @@ class Storage:
         """Edge-tile plan for the Pallas kernels (None if built under jit)."""
         return self._plan_bwd if transpose else self._plan_fwd
 
+    def ell_plan(self):
+        """Row-balance ELL plan (None unless degree-regular)."""
+        return self._ell_fwd
+
     def bell_plan(self, transpose: bool = False):
         """Blocked-ELL 2D plan (None unless the structure is dense enough)."""
         return self._bell_bwd if transpose else self._bell_fwd
@@ -238,6 +252,7 @@ class Storage:
             self._plan_bwd,
             self._bell_fwd,
             self._bell_bwd,
+            self._ell_fwd,
         )
         aux = (self._num_rows, self._num_cols, self._nnz)
         return children, aux
@@ -257,6 +272,7 @@ class Storage:
             obj._plan_bwd,
             obj._bell_fwd,
             obj._bell_bwd,
+            obj._ell_fwd,
         ) = children
         obj._num_rows, obj._num_cols, obj._nnz = aux
         return obj
@@ -371,6 +387,7 @@ class SparseTensor:
         st._csr2csc, st._coo_row = src._csr2csc, src._coo_row
         st._plan_fwd, st._plan_bwd = src._plan_fwd, src._plan_bwd
         st._bell_fwd, st._bell_bwd = src._bell_fwd, src._bell_bwd
+        st._ell_fwd = src._ell_fwd
         st._num_rows, st._num_cols, st._nnz = (
             src._num_rows,
             src._num_cols,
@@ -408,6 +425,7 @@ class SparseTensor:
         st._coo_row = coo_row_t
         st._plan_fwd, st._plan_bwd = src._plan_bwd, src._plan_fwd
         st._bell_fwd, st._bell_bwd = src._bell_bwd, src._bell_fwd
+        st._ell_fwd = None
         st._num_rows, st._num_cols = src._num_cols, src._num_rows
         st._nnz = src._nnz
         obj.storage = st

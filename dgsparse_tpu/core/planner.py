@@ -150,6 +150,58 @@ def build_edge_tile_plan(
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class EllPlan:
+    """Row-major padded ELL: every row padded to the max degree K. For
+    degree-regular graphs this is the reference's row-balance schedule
+    re-thought for TPU: out = sum_k vals[:, k] * B[cols[:, k]] — gather +
+    K-step weighted sum, NO segment reduction at all. Only built when
+    padding stays small (max_deg * M / nnz <= threshold)."""
+
+    cols: jax.Array       # [M, K] int32 (0 padding)
+    vals_mask: jax.Array  # [M, K] f32 0/1 validity (edge values are applied
+                          # separately so traced values stay traced)
+    eperm: jax.Array      # [M, K] int32 original edge position (-1 padding)
+    k: int
+    num_rows: int
+    num_cols: int
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.cols, self.vals_mask, self.eperm), (
+            self.k, self.num_rows, self.num_cols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def pad_ratio(self) -> float:
+        return self.k * self.num_rows / max(self.nnz, 1)
+
+
+def build_ell_plan(rowptr: np.ndarray, col: np.ndarray,
+                   num_cols: int) -> EllPlan:
+    rowptr = np.asarray(jax.device_get(rowptr))
+    col = np.asarray(jax.device_get(col))
+    m = len(rowptr) - 1
+    nnz = len(col)
+    deg = np.diff(rowptr)
+    k = max(int(deg.max()) if m else 0, 1)
+    cols = np.zeros((m, k), np.int32)
+    mask = np.zeros((m, k), np.float32)
+    eperm = np.full((m, k), -1, np.int32)
+    # vectorized fill: position within row
+    row = np.repeat(np.arange(m, dtype=np.int64), deg)
+    pos = np.arange(nnz, dtype=np.int64) - np.repeat(rowptr[:-1], deg)
+    cols[row, pos] = col
+    mask[row, pos] = 1.0
+    eperm[row, pos] = np.arange(nnz, dtype=np.int32)
+    return EllPlan(cols=jnp.asarray(cols), vals_mask=jnp.asarray(mask),
+                   eperm=jnp.asarray(eperm), k=k, num_rows=m,
+                   num_cols=num_cols, nnz=nnz)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class BellPlan:
     """Blocked-ELL plan: 2D (row-block x column-window) tiles for the fully
     in-MXU BELL kernel. Every tile's edges live inside one 128-row output

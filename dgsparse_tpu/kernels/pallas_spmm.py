@@ -127,6 +127,36 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def spmm_ell(
+    plan,                       # core.planner.EllPlan
+    values: Optional[jax.Array],
+    dense: jax.Array,
+    reduce: ReduceOp = ReduceOp.SUM,
+    degrees: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Row-balance ELL SpMM (Algorithm.PALLAS_ROW_TILE): gather + masked
+    K-step weighted sum — no segment reduction at all. XLA formulation (the
+    gather dominates; the sum fuses into its consumer loop). For
+    degree-regular graphs this beats the ESC one-hot path by skipping the
+    MXU segment matmul; the reference's seqreduce row-balance analog
+    (include/cuda/spmm_cuda.cuh:10-55)."""
+    if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
+        raise ValueError("spmm_ell handles SUM/MEAN only")
+    m, k = plan.cols.shape
+    gathered = jnp.take(dense, plan.cols.reshape(-1), axis=0)
+    gathered = gathered.reshape(m, k, dense.shape[-1])
+    w = plan.vals_mask
+    if values is not None:
+        safe = jnp.maximum(plan.eperm, 0).reshape(-1)
+        w = w * jnp.take(values, safe).reshape(m, k).astype(w.dtype)
+    out = jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype), gathered)
+    if reduce == ReduceOp.MEAN:
+        if degrees is None:
+            raise ValueError("degrees required for MEAN")
+        out = out / jnp.maximum(degrees, 1).astype(out.dtype)[:, None]
+    return out
+
+
 def _bell_kernel(row_block: int, edge_tile: int, col_window: int,
                  compute_dtype,
                  tile_rb_ref, tile_cw_ref, lcol_ref, lrow_ref, vals_ref,

@@ -1,0 +1,16 @@
+from dgsparse_tpu.ops import (  # noqa: F401
+    edge_softmax,
+    gspmm,
+    sddmm,
+    segment,
+    spconv,
+    spmm,
+    types,
+)
+from dgsparse_tpu.ops.segment import sorted_segment_sum  # noqa: F401
+from dgsparse_tpu.ops.spconv import (  # noqa: F401
+    SparseConvTensor,
+    SpConvPlan,
+    build_rulebook,
+    inverse_plan,
+)

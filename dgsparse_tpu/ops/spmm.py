@@ -39,14 +39,21 @@ def _int_zero(x):
 def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                   idx, values, dense):
     """Dispatch the forward kernel. idx = (rowptr, col, coo_row, colptr,
-    row_csc, perm, plan_fwd, plan_bwd, bell_fwd, bell_bwd)."""
-    rowptr, col, coo_row, _, _, _, plan_fwd, _, bell_fwd, _ = idx
+    row_csc, perm, plan_fwd, plan_bwd, bell_fwd, bell_bwd, ell_fwd)."""
+    (rowptr, col, coo_row, _, _, _, plan_fwd, _, bell_fwd, _,
+     ell_fwd) = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
 
     algorithm = _resolve_algorithm(algorithm, plan_fwd, bell_fwd,
-                                   col.shape[0], reduce)
+                                   col.shape[0], reduce, ell_fwd)
+    if algorithm == Algorithm.PALLAS_ROW_TILE and ell_fwd is not None \
+            and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+        from dgsparse_tpu.kernels import pallas_spmm as kp
+
+        out = kp.spmm_ell(ell_fwd, vals, dense, reduce, degrees)
+        return out.astype(dense.dtype), None
     if algorithm == Algorithm.PALLAS_BELL and bell_fwd is not None \
             and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
         from dgsparse_tpu.kernels import pallas_spmm as kp
@@ -76,7 +83,7 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
 
 
 def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
-                       reduce: ReduceOp) -> Algorithm:
+                       reduce: ReduceOp, ell=None) -> Algorithm:
     """AUTO heuristic (≈ gespmmAlgSel, src/ge-spmm/gespmm.cc:13-24): the
     fully-MXU BELL kernel when the structure is dense enough to tile 2D,
     else the Pallas edge-tile kernel when a plan exists, else the XLA
@@ -85,6 +92,8 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
     if algorithm != Algorithm.AUTO:
         return algorithm
     if jax.default_backend() == "tpu" and nnz >= 4096:
+        if ell is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+            return Algorithm.PALLAS_ROW_TILE
         if bell is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
             return Algorithm.PALLAS_BELL
         if plan is not None and plan.pad_ratio() <= 4.0:
@@ -108,7 +117,7 @@ def _spmm_fwd(reduce, algorithm, has_value, idx, values, dense):
 def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
     idx, values, dense, arg_edge = residuals
     (rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd,
-     bell_fwd, bell_bwd) = idx
+     bell_fwd, bell_bwd, ell_fwd) = idx
     num_rows = rowptr.shape[0] - 1
     nnz = col.shape[0]
 
@@ -212,7 +221,7 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True),
-           st.bell_plan(), st.bell_plan(transpose=True))
+           st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan())
     values = sparse.values_or_ones()
     return _spmm(reduce, algorithm, sparse.has_value, idx, values, dense)
 

@@ -41,8 +41,10 @@ class Algorithm(enum.IntEnum):
       src/ge-spmm/gespmm.cc:13-24).
     - XLA_SEGMENT: pure XLA gather + segment reduction (always-correct
       fallback and oracle).
-    - PALLAS_ROW_TILE: Pallas kernel over degree-bucketed, row-padded ELL
-      tiles (≈ seqreduce/rowcaching row-balance).
+    - PALLAS_ROW_TILE: padded-ELL row-balance schedule — gather + masked
+      K-step weighted sum with NO segment reduction (≈ seqreduce
+      row-balance); used when the structure is degree-regular (max_deg
+      close to avg), otherwise falls back to the edge-tile schedule.
     - PALLAS_EDGE_TILE: Pallas kernel over fixed-size, row-block-aligned edge
       tiles with in-kernel segment reduction via one-hot MXU matmul
       (≈ nnz-balance; the row-block quantization plays the role of the

@@ -1,0 +1,77 @@
+"""ELL row-balance algorithm (PALLAS_ROW_TILE) on degree-regular graphs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgsparse_tpu import Algorithm, SparseTensor, spmm
+from dgsparse_tpu.utils.testing import spmm_oracle
+
+
+def regular_graph(m=700, n=600, deg=8, seed=0):
+    rng = np.random.default_rng(seed)
+    col = np.stack([np.sort(rng.choice(n, deg, replace=False))
+                    for _ in range(m)]).reshape(-1).astype(np.int32)
+    rowptr = (np.arange(m + 1) * deg).astype(np.int32)
+    vals = rng.standard_normal(m * deg).astype(np.float32)
+    return rowptr, col, vals
+
+
+def test_ell_plan_built_for_regular_graph():
+    rowptr, col, vals = regular_graph()
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(700, 600))
+    plan = sp.storage.ell_plan()
+    assert plan is not None
+    assert plan.k == 8
+    assert plan.pad_ratio() == 1.0
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_ell_forward(reduce):
+    rowptr, col, vals = regular_graph(seed=1)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(700, 600))
+    x = jnp.asarray(np.random.default_rng(2)
+                    .standard_normal((600, 48)).astype(np.float32))
+    out = spmm(sp, x, reduce, Algorithm.PALLAS_ROW_TILE)
+    ref = spmm_oracle(rowptr, col, vals, np.asarray(x), reduce)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ell_backward_matches_xla():
+    rowptr, col, vals = regular_graph(seed=3)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(700, 600))
+    x = jnp.asarray(np.random.default_rng(4)
+                    .standard_normal((600, 16)).astype(np.float32))
+    rng = np.random.default_rng(5)
+    ct = jnp.asarray(rng.standard_normal((700, 16)).astype(np.float32))
+
+    def loss(v, d, alg):
+        return jnp.vdot(spmm(sp.set_values(v), d, "sum", alg), ct)
+
+    ge = jax.grad(lambda v, d: loss(v, d, Algorithm.PALLAS_ROW_TILE),
+                  argnums=(0, 1))(jnp.asarray(vals), x)
+    gx = jax.grad(lambda v, d: loss(v, d, Algorithm.XLA_SEGMENT),
+                  argnums=(0, 1))(jnp.asarray(vals), x)
+    for a, b in zip(ge, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_irregular_graph_has_no_ell_plan():
+    from dgsparse_tpu.utils.testing import random_csr
+
+    rowptr, col, vals = random_csr(800, 700, avg_degree=8.0, seed=7,
+                                   skew=1.5)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(800, 700))
+    assert sp.storage.ell_plan() is None
+    # explicit ROW_TILE without a plan falls back to ESC semantics
+    x = jnp.asarray(np.random.default_rng(8)
+                    .standard_normal((700, 16)).astype(np.float32))
+    out = spmm(sp, x, "sum", Algorithm.PALLAS_ROW_TILE)
+    ref = spmm_oracle(rowptr, col, vals, np.asarray(x), "sum")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
