@@ -164,14 +164,22 @@ class Storage:
                 rowptr_np, col_np, num_cols, sort_cols=False)
             self._plan_bwd = build_edge_tile_plan(
                 colptr_np, row_csc_np, num_rows, sort_cols=False)
-            # ELL row-balance plan for degree-regular structures (max_deg
-            # close to avg_deg): skips the segment reduction entirely.
+            # ELL row-balance plans (skip the segment reduction entirely):
+            # single-K for degree-regular structures, degree-bucketed
+            # otherwise (bounded padding even on power-law graphs).
             if nnz >= 4096:
+                from dgsparse_tpu.core.planner import build_bucketed_ell_plan
+
                 deg_np = np.diff(rowptr_np)
                 max_deg = int(deg_np.max()) if len(deg_np) else 0
                 if max_deg and max_deg * num_rows / nnz <= 1.5:
                     self._ell_fwd = build_ell_plan(rowptr_np, col_np,
                                                    num_cols)
+                else:
+                    bek = build_bucketed_ell_plan(rowptr_np, col_np,
+                                                  num_cols)
+                    if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 16:
+                        self._ell_fwd = bek
             # BELL 2D plans only pay off when cells genuinely fill (measured:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.
             if nnz >= 4096 and nnz / max(num_rows, 1) >= 32:

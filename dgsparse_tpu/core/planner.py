@@ -202,6 +202,85 @@ def build_ell_plan(rowptr: np.ndarray, col: np.ndarray,
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class BucketedEllPlan:
+    """Degree-bucketed ELL: rows grouped by next-pow2(degree) buckets, each
+    bucket a rectangular [rows_b, K_b] padded block (bounded padding even on
+    power-law graphs), outputs assembled in bucket order and inverse-
+    permuted once. Generalizes EllPlan to irregular degree distributions —
+    the row-balance schedule without any segment reduction."""
+
+    cols: tuple           # per bucket: [rows_b, K_b] int32 jax arrays
+    masks: tuple          # per bucket: [rows_b, K_b] f32 0/1
+    eperms: tuple         # per bucket: [rows_b, K_b] int32 (-1 padding)
+    inv_row: jax.Array    # [M] int32: position of original row in the
+                          # bucket-sorted concatenation
+    ks: tuple             # static K_b per bucket
+    num_rows: int
+    num_cols: int
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.cols, self.masks, self.eperms, self.inv_row), (
+            self.ks, self.num_rows, self.num_cols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def pad_ratio(self) -> float:
+        total = sum(c.shape[0] * c.shape[1] for c in self.cols)
+        return total / max(self.nnz, 1)
+
+
+def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
+                            num_cols: int) -> BucketedEllPlan:
+    rowptr = np.asarray(jax.device_get(rowptr))
+    col = np.asarray(jax.device_get(col))
+    m = len(rowptr) - 1
+    nnz = len(col)
+    deg = np.diff(rowptr).astype(np.int64)
+    # bucket id = ceil(log2(max(deg,1))); empty rows share bucket 0
+    kb = np.maximum(deg, 1)
+    bucket = np.ceil(np.log2(kb)).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")  # rows in bucket order
+    # inv_row[original_row] = its position in the bucket-sorted concat
+    inv_row = np.empty(m, np.int32)
+    inv_row[order] = np.arange(m, dtype=np.int32)
+
+    cols_l, masks_l, eperms_l, ks = [], [], [], []
+    sorted_bucket = bucket[order]
+    boundaries = np.nonzero(np.diff(sorted_bucket))[0] + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [m]])
+    for s, t in zip(starts, ends):
+        rows = order[s:t]
+        k = 1 << int(sorted_bucket[s])
+        rb = len(rows)
+        c = np.zeros((rb, k), np.int32)
+        msk = np.zeros((rb, k), np.float32)
+        ep = np.full((rb, k), -1, np.int32)
+        deg_b = deg[rows]
+        e_b = int(deg_b.sum())
+        if e_b:
+            rep_row = np.repeat(np.arange(rb, dtype=np.int64), deg_b)
+            csum = np.concatenate([[0], np.cumsum(deg_b)[:-1]])
+            rep_pos = np.arange(e_b, dtype=np.int64) - np.repeat(csum, deg_b)
+            src = np.repeat(rowptr[rows].astype(np.int64), deg_b) + rep_pos
+            c[rep_row, rep_pos] = col[src]
+            msk[rep_row, rep_pos] = 1.0
+            ep[rep_row, rep_pos] = src.astype(np.int32)
+        cols_l.append(jnp.asarray(c))
+        masks_l.append(jnp.asarray(msk))
+        eperms_l.append(jnp.asarray(ep))
+        ks.append(k)
+    return BucketedEllPlan(
+        cols=tuple(cols_l), masks=tuple(masks_l), eperms=tuple(eperms_l),
+        inv_row=jnp.asarray(inv_row), ks=tuple(ks), num_rows=m,
+        num_cols=num_cols, nnz=nnz)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class BellPlan:
     """Blocked-ELL plan: 2D (row-block x column-window) tiles for the fully
     in-MXU BELL kernel. Every tile's edges live inside one 128-row output

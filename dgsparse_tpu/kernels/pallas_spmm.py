@@ -157,6 +157,38 @@ def spmm_ell(
     return out
 
 
+def spmm_bucketed_ell(
+    plan,                       # core.planner.BucketedEllPlan
+    values: Optional[jax.Array],
+    dense: jax.Array,
+    reduce: ReduceOp = ReduceOp.SUM,
+    degrees: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Degree-bucketed row-balance SpMM: per pow2-degree bucket, gather +
+    masked K-step sum (no segment reduction); bucket outputs concatenate in
+    bucket order and one row gather restores the original order."""
+    if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
+        raise ValueError("spmm_bucketed_ell handles SUM/MEAN only")
+    outs = []
+    for cols, mask, eperm in zip(plan.cols, plan.masks, plan.eperms):
+        rb, k = cols.shape
+        gathered = jnp.take(dense, cols.reshape(-1), axis=0)
+        gathered = gathered.reshape(rb, k, dense.shape[-1])
+        w = mask
+        if values is not None:
+            safe = jnp.maximum(eperm, 0).reshape(-1)
+            w = w * jnp.take(values, safe).reshape(rb, k).astype(w.dtype)
+        outs.append(jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype),
+                               gathered))
+    concat = jnp.concatenate(outs, axis=0)
+    out = jnp.take(concat, plan.inv_row, axis=0)
+    if reduce == ReduceOp.MEAN:
+        if degrees is None:
+            raise ValueError("degrees required for MEAN")
+        out = out / jnp.maximum(degrees, 1).astype(out.dtype)[:, None]
+    return out
+
+
 def _bell_kernel(row_block: int, edge_tile: int, col_window: int,
                  compute_dtype,
                  tile_rb_ref, tile_cw_ref, lcol_ref, lrow_ref, vals_ref,

@@ -50,9 +50,13 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                                    col.shape[0], reduce, ell_fwd)
     if algorithm == Algorithm.PALLAS_ROW_TILE and ell_fwd is not None \
             and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+        from dgsparse_tpu.core.planner import BucketedEllPlan
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
-        out = kp.spmm_ell(ell_fwd, vals, dense, reduce, degrees)
+        if isinstance(ell_fwd, BucketedEllPlan):
+            out = kp.spmm_bucketed_ell(ell_fwd, vals, dense, reduce, degrees)
+        else:
+            out = kp.spmm_ell(ell_fwd, vals, dense, reduce, degrees)
         return out.astype(dense.dtype), None
     if algorithm == Algorithm.PALLAS_BELL and bell_fwd is not None \
             and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
@@ -92,7 +96,12 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
     if algorithm != Algorithm.AUTO:
         return algorithm
     if jax.default_backend() == "tpu" and nnz >= 4096:
-        if ell is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+        from dgsparse_tpu.core.planner import EllPlan
+
+        # single-K ELL measured 3.6x over ESC; bucketed ELL is opt-in via
+        # explicit PALLAS_ROW_TILE until measured against ESC on hardware.
+        if isinstance(ell, EllPlan) and reduce in (ReduceOp.SUM,
+                                                   ReduceOp.MEAN):
             return Algorithm.PALLAS_ROW_TILE
         if bell is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
             return Algorithm.PALLAS_BELL

@@ -61,17 +61,57 @@ def test_ell_backward_matches_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_irregular_graph_has_no_ell_plan():
+def test_irregular_graph_gets_bucketed_or_no_plan():
+    from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
     from dgsparse_tpu.utils.testing import random_csr
 
     rowptr, col, vals = random_csr(800, 700, avg_degree=8.0, seed=7,
                                    skew=1.5)
     sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
                                jnp.asarray(vals), sparse_sizes=(800, 700))
-    assert sp.storage.ell_plan() is None
-    # explicit ROW_TILE without a plan falls back to ESC semantics
+    plan = sp.storage.ell_plan()
+    assert not isinstance(plan, EllPlan)  # not degree-regular
+    if plan is not None:
+        assert isinstance(plan, BucketedEllPlan)
+        assert plan.pad_ratio() <= 2.0
+    # ROW_TILE stays correct either way (bucketed ELL or ESC fallback)
     x = jnp.asarray(np.random.default_rng(8)
                     .standard_normal((700, 16)).astype(np.float32))
     out = spmm(sp, x, "sum", Algorithm.PALLAS_ROW_TILE)
     ref = spmm_oracle(rowptr, col, vals, np.asarray(x), "sum")
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+def test_bucketed_ell_on_irregular_graph():
+    from dgsparse_tpu.core.planner import BucketedEllPlan
+    from dgsparse_tpu.utils.testing import random_csr
+
+    rowptr, col, vals = random_csr(900, 800, avg_degree=8.0, seed=11,
+                                   skew=1.2)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(900, 800))
+    plan = sp.storage.ell_plan()
+    if not isinstance(plan, BucketedEllPlan):
+        import pytest
+        pytest.skip(f"pad ratio rejected bucketed plan: {plan}")
+    x = jnp.asarray(np.random.default_rng(12)
+                    .standard_normal((800, 32)).astype(np.float32))
+    for reduce in ("sum", "mean"):
+        out = spmm(sp, x, reduce, Algorithm.PALLAS_ROW_TILE)
+        ref = spmm_oracle(rowptr, col, vals, np.asarray(x), reduce)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                   atol=1e-5)
+
+    # backward matches XLA
+    rng = np.random.default_rng(13)
+    ct = jnp.asarray(rng.standard_normal((900, 32)).astype(np.float32))
+
+    def loss(v, d, alg):
+        return jnp.vdot(spmm(sp.set_values(v), d, "sum", alg), ct)
+
+    gb = jax.grad(lambda v, d: loss(v, d, Algorithm.PALLAS_ROW_TILE),
+                  argnums=(0, 1))(jnp.asarray(vals), x)
+    gx = jax.grad(lambda v, d: loss(v, d, Algorithm.XLA_SEGMENT),
+                  argnums=(0, 1))(jnp.asarray(vals), x)
+    for a, b in zip(gb, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
