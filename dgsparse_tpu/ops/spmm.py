@@ -96,12 +96,15 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
     if algorithm != Algorithm.AUTO:
         return algorithm
     if jax.default_backend() == "tpu" and nnz >= 4096:
-        from dgsparse_tpu.core.planner import EllPlan
+        from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
 
-        # single-K ELL measured 3.6x over ESC; bucketed ELL is opt-in via
-        # explicit PALLAS_ROW_TILE until measured against ESC on hardware.
-        if isinstance(ell, EllPlan) and reduce in (ReduceOp.SUM,
-                                                   ReduceOp.MEAN):
+        # measured on v5e: single-K ELL 3.6x over ESC on regular graphs;
+        # bucketed ELL 1.65x over ESC when padding is modest (pad <= 1.6),
+        # a wash at pad ~1.9 — hence the gate.
+        if reduce in (ReduceOp.SUM, ReduceOp.MEAN) and (
+                isinstance(ell, EllPlan)
+                or (isinstance(ell, BucketedEllPlan)
+                    and ell.pad_ratio() <= 1.6)):
             return Algorithm.PALLAS_ROW_TILE
         if bell is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
             return Algorithm.PALLAS_BELL
