@@ -157,6 +157,54 @@ def spmm_ell(
     return out
 
 
+def gspmm_ell(
+    plan,                       # EllPlan or BucketedEllPlan
+    values: Optional[jax.Array],
+    dense: jax.Array,
+    reduce: ReduceOp = ReduceOp.SUM,
+    compute=None,
+    degrees: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Semiring generalization of the ELL row-balance schedule: per bucket,
+    contrib = compute(edge, feat[col]) masked, then a K-axis sum."""
+    from dgsparse_tpu.core.planner import BucketedEllPlan
+    from dgsparse_tpu.kernels.xla import combine
+    from dgsparse_tpu.ops.types import ComputeOp
+
+    compute = ComputeOp.MUL if compute is None else compute
+    if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
+        raise ValueError("gspmm_ell handles SUM/MEAN only")
+
+    if isinstance(plan, BucketedEllPlan):
+        buckets = zip(plan.cols, plan.masks, plan.eperms)
+        inv_row = plan.inv_row
+    else:
+        buckets = [(plan.cols, plan.vals_mask, plan.eperm)]
+        inv_row = None
+
+    outs = []
+    for cols, mask, eperm in buckets:
+        rb, k = cols.shape
+        f = dense.shape[-1]
+        gathered = jnp.take(dense, cols.reshape(-1), axis=0)   # [rb*k, F]
+        if values is not None:
+            safe = jnp.maximum(eperm, 0).reshape(-1)
+            v = jnp.take(values, safe).astype(gathered.dtype)
+            contrib = combine(compute, v, gathered)
+        else:
+            contrib = gathered
+        contrib = contrib.reshape(rb, k, f) * mask[:, :, None].astype(
+            contrib.dtype)
+        outs.append(contrib.sum(axis=1))
+    out = outs[0] if inv_row is None else jnp.take(
+        jnp.concatenate(outs, axis=0), inv_row, axis=0)
+    if reduce == ReduceOp.MEAN:
+        if degrees is None:
+            raise ValueError("degrees required for MEAN")
+        out = out / jnp.maximum(degrees, 1).astype(out.dtype)[:, None]
+    return out
+
+
 def spmm_bucketed_ell(
     plan,                       # core.planner.BucketedEllPlan
     values: Optional[jax.Array],

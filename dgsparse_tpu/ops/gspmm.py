@@ -63,11 +63,26 @@ def _use_esc(plan, nnz, reduce) -> bool:
             and plan.pad_ratio() <= 4.0)
 
 
+def _use_ell(ell, reduce) -> bool:
+    from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
+
+    return (reduce in (ReduceOp.SUM, ReduceOp.MEAN)
+            and jax.default_backend() == "tpu"
+            and (isinstance(ell, EllPlan)
+                 or (isinstance(ell, BucketedEllPlan)
+                     and ell.pad_ratio() <= 1.6)))
+
+
 def _forward(reduce, compute, has_value, idx, values, dense):
-    rowptr, col, coo_row, _, _, _, plan_fwd, _ = idx
+    rowptr, col, coo_row, _, _, _, plan_fwd, _, ell_fwd = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
+    if _use_ell(ell_fwd, reduce):
+        from dgsparse_tpu.kernels import pallas_spmm as kp
+
+        return kp.gspmm_ell(ell_fwd, vals, dense, reduce, compute,
+                            degrees), None
     if _use_esc(plan_fwd, col.shape[0], reduce):
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
@@ -84,7 +99,8 @@ def _gspmm_fwd(reduce, compute, has_value, idx, values, dense):
 
 def _gspmm_bwd(reduce, compute, has_value, residuals, g):
     idx, values, dense, arg_edge = residuals
-    rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd = idx
+    (rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd,
+     _ell_fwd) = idx
     nnz = col.shape[0]
 
     if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
@@ -158,7 +174,7 @@ def gspmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     reduce, compute = as_reduce(reduce), as_compute(compute)
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
-           st.csr2csc(), st.plan(), st.plan(transpose=True))
+           st.csr2csc(), st.plan(), st.plan(transpose=True), st.ell_plan())
     values = sparse.values_or_ones()
     return _gspmm(reduce, compute, sparse.has_value, idx, values, dense)
 

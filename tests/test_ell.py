@@ -115,3 +115,28 @@ def test_bucketed_ell_on_irregular_graph():
     for a, b in zip(gb, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_gspmm_ell_direct():
+    """Semiring ELL path (gspmm routes here on TPU AUTO)."""
+    from dgsparse_tpu.kernels.pallas_spmm import gspmm_ell
+    from dgsparse_tpu.ops.types import ComputeOp, ReduceOp
+    from dgsparse_tpu.utils.testing import gspmm_oracle, random_csr
+
+    rowptr, col, vals = random_csr(500, 450, avg_degree=8.0, seed=15,
+                                   skew=1.0)
+    vals = np.abs(vals) + 0.5
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(500, 450))
+    plan = sp.storage.ell_plan()
+    assert plan is not None
+    x = np.random.default_rng(16).standard_normal((450, 24)).astype(
+        np.float32)
+    degrees = jnp.asarray(np.diff(rowptr))
+    for cu in ("add", "sub", "mul", "div"):
+        for rd in ("sum", "mean"):
+            out = gspmm_ell(plan, jnp.asarray(vals), jnp.asarray(x),
+                            ReduceOp(rd), ComputeOp(cu), degrees)
+            ref = gspmm_oracle(rowptr, col, vals, x, rd, cu)
+            np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                       atol=1e-5)
