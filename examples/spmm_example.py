@@ -45,6 +45,7 @@ def main():
     ref = spmm_oracle(rowptr, col, vals, np.asarray(b), "sum")
 
     algos = [Algorithm.XLA_SEGMENT, Algorithm.PALLAS_EDGE_TILE,
+             Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_BELL,
              Algorithm.AUTO]
     for alg in algos:
         fn = jax.jit(lambda x: spmm(sp, x, "sum", alg))
