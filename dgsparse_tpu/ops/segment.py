@@ -7,7 +7,7 @@ Requires concrete (host-known) segment ids; falls back to
 jax.ops.segment_sum otherwise.
 """
 
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ compiled implementation runs — the XLA segment-op path or a Pallas kernel.
 """
 
 from functools import partial
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
