@@ -1,0 +1,62 @@
+"""Coverage for utility modules: timers, transforms, gcn_norm, pad_nodes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgsparse_tpu.core.transform import csr2coo, expand_rowptr
+from dgsparse_tpu.dist import pad_nodes
+from dgsparse_tpu.nn.gcn import gcn_norm_from_edge_index
+from dgsparse_tpu.utils.bench import (roofline_fraction, spmm_gflops,
+                                      time_on_device)
+from dgsparse_tpu.utils.stats import degree_stats
+from dgsparse_tpu.utils.testing import random_csr
+
+
+def test_time_on_device_runs():
+    x = jnp.ones((64, 64))
+    t = time_on_device(lambda s, a: a * s + 1.0, x, iters=5)
+    assert t > 0
+
+
+def test_gflops_roofline():
+    assert abs(spmm_gflops(1000, 64, 1e-3) - 2 * 1000 * 64 / 1e-3 / 1e9) \
+        < 1e-9
+    assert 0 < roofline_fraction(819e9, 1.0) <= 1.001
+
+
+def test_csr2coo_jit_path():
+    rowptr, col, _ = random_csr(40, 30, 3.0, seed=1)
+
+    @jax.jit
+    def f(rp, c):
+        return csr2coo(rp, c)
+
+    row, c = f(jnp.asarray(rowptr), jnp.asarray(col))
+    ref = np.repeat(np.arange(40), np.diff(rowptr))
+    np.testing.assert_array_equal(np.asarray(row), ref)
+
+
+def test_gcn_norm_formula():
+    # triangle graph 0-1-2-0, no self loops added manually
+    edge_index = np.array([[0, 1, 1, 2, 2, 0],
+                           [1, 0, 2, 1, 0, 2]])
+    rowptr, col, vals = gcn_norm_from_edge_index(edge_index, 3,
+                                                 add_self_loops=True)
+    # with self loops every node has degree 3 -> all values 1/3
+    np.testing.assert_allclose(vals, np.full(9, 1 / 3), rtol=1e-6)
+    assert rowptr[-1] == 9
+
+
+def test_degree_stats():
+    rowptr = np.array([0, 2, 2, 5], np.int32)
+    s = degree_stats(rowptr)
+    assert s["num_rows"] == 3 and s["nnz"] == 5
+    assert s["empty_rows"] == 1 and s["max_degree"] == 3
+
+
+def test_pad_nodes():
+    x = jnp.ones((10, 4))
+    assert pad_nodes(x, 4).shape == (12, 4)
+    assert pad_nodes(x, 5).shape == (10, 4)
+    assert float(pad_nodes(x, 4)[10:].sum()) == 0
