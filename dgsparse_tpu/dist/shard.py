@@ -23,7 +23,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 try:
     from jax import shard_map  # jax >= 0.7
@@ -197,6 +197,25 @@ def spmm_sharded(
 
 # test hook: force the Pallas local path off-TPU (interpret mode)
 _FORCE_PALLAS = [False]
+
+
+def spmm_feature_sharded(
+    sparse,                      # SparseTensor (structure replicated)
+    x: jax.Array,                # [N, F], F sharded over the mesh axis
+    mesh: Mesh,
+    axis: str = "graph",
+    reduce: str = "sum",
+) -> jax.Array:
+    """Feature-dimension (tensor-parallel) SpMM: every device holds the full
+    structure and a slice of feature columns — zero communication in both
+    forward and backward (the complementary strategy to row-block sharding;
+    right when F is large and the graph fits every chip)."""
+    from dgsparse_tpu.ops.spmm import spmm
+
+    fs = NamedSharding(mesh, P(None, axis))
+    x = jax.lax.with_sharding_constraint(x, fs)
+    out = spmm(sparse, x, reduce)
+    return jax.lax.with_sharding_constraint(out, fs)
 
 
 def pad_nodes(x: jax.Array, num_shards: int) -> jax.Array:

@@ -230,6 +230,12 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     """SpMM with a selectable reduction. Returns [M, F]."""
     reduce = as_reduce(reduce)
     algorithm = as_algorithm(algorithm)
+    if dense.ndim != 2:
+        raise ValueError(f"dense must be [N, F], got shape {dense.shape}")
+    if dense.shape[0] != sparse.sparse_sizes()[1]:
+        raise ValueError(
+            f"dense rows {dense.shape[0]} != sparse num_cols "
+            f"{sparse.sparse_sizes()[1]}")
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True),

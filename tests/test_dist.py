@@ -126,3 +126,19 @@ def test_sharded_gcn_loss_matches_single_device():
     nll = -jnp.take_along_axis(ls, jnp.asarray(y)[:, None], axis=1)[:, 0]
     loss_single = float(nll.mean())
     np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
+
+
+def test_feature_sharded_matches():
+    from dgsparse_tpu.dist import spmm_feature_sharded
+
+    sp, x = make(seed=31)
+    mesh = Mesh(np.array(jax.devices()), ("graph",))
+
+    @jax.jit
+    def f(x_):
+        return spmm_feature_sharded(sp, x_, mesh)
+
+    out = f(x)
+    ref = spmm_sum(sp, x, 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
