@@ -70,7 +70,7 @@ def _use_ell(ell, reduce) -> bool:
             and jax.default_backend() == "tpu"
             and (isinstance(ell, EllPlan)
                  or (isinstance(ell, BucketedEllPlan)
-                     and ell.pad_ratio() <= 1.6)))
+                     and ell.pad_ratio() <= 2.0)))
 
 
 def _forward(reduce, compute, has_value, idx, values, dense):

@@ -99,12 +99,12 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
         from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
 
         # measured on v5e: single-K ELL 3.6x over ESC on regular graphs;
-        # bucketed ELL 1.65x over ESC when padding is modest (pad <= 1.6),
-        # a wash at pad ~1.9 — hence the gate.
+        # bucketed ELL 1.65x over ESC at pad 1.39 and at-parity-or-better
+        # up to pad ~1.9 (two sessions) — gate at 2.0.
         if reduce in (ReduceOp.SUM, ReduceOp.MEAN) and (
                 isinstance(ell, EllPlan)
                 or (isinstance(ell, BucketedEllPlan)
-                    and ell.pad_ratio() <= 1.6)):
+                    and ell.pad_ratio() <= 2.0)):
             return Algorithm.PALLAS_ROW_TILE
         if bell is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
             return Algorithm.PALLAS_BELL
