@@ -102,7 +102,8 @@ def child(algorithm_name: str, out_path: str) -> None:
 def main():
     results = []
     with tempfile.TemporaryDirectory() as td:
-        for alg, timeout in (("PALLAS_EDGE_TILE", 900),
+        for alg, timeout in (("PALLAS_ROW_TILE", 900),
+                             ("PALLAS_EDGE_TILE", 600),
                              ("XLA_SEGMENT", 600)):
             out_path = os.path.join(td, f"{alg}.json")
             try:
