@@ -62,11 +62,10 @@ class SpConvPlan:
     o2i: jax.Array           # [k_vol, num_out] int32 input id per (offset,
                              # output), -1 = miss — the gather-only forward map
     i2o: jax.Array           # [k_vol, num_in] int32 inverse map for backward
-    # Compact pair-stream layout for the ESC path (sparse clouds): per-offset
-    # compact input ids, the out id per stream position, and ESC plans that
-    # one-hot-scatter the stream by out id (fwd) / in id (bwd).
-    imap_compact: tuple      # per offset: [knnz_k] int32 jax arrays
-    omap_stream: jax.Array   # [total_pairs] int32 out id per stream slot
+    # ESC path (sparse clouds): EdgeTilePlans that one-hot-scatter the
+    # Q-padded pair stream by out id (fwd) / in id (bwd); "columns" are
+    # positions in the Q-padded stream, so the whole conv is ONE masked
+    # gather + ONE batched einsum + one ESC scatter per direction.
     plan_by_out: object      # EdgeTilePlan or None
     plan_by_in: object       # EdgeTilePlan or None
     knnz: tuple              # static per-offset true pair counts
@@ -80,8 +79,7 @@ class SpConvPlan:
 
     def tree_flatten(self):
         return (self.imap, self.omap, self.widx, self.o2i, self.i2o,
-                self.imap_compact, self.omap_stream, self.plan_by_out,
-                self.plan_by_in), (
+                self.plan_by_out, self.plan_by_in), (
             self.knnz, self.kpos, self.qkpos, self.num_out, self.num_in,
             self.k_vol, self.separate_mid, self.quant)
 
@@ -252,34 +250,29 @@ def _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz, separate_mid,
         kpos.append(kpos[-1] + n)
         qkpos.append(qkpos[-1] + nq)
 
-    # Compact pair-stream layout + ESC plans (fwd scatter by out id, bwd
-    # scatter by in id). Stream order = offsets in k order, pairs in rulebook
-    # order within each offset; "columns" of the ESC plans are stream slots.
+    # ESC plans over the Q-padded pair stream (fwd scatter by out id, bwd
+    # scatter by in id); "columns" are Q-padded stream positions, so the
+    # device step is one masked gather + one batched per-tile einsum + one
+    # one-hot scatter.
     total_pairs = int(kpos[-1])
-    imap_compact = tuple(jnp.asarray(np.asarray(im, np.int32))
-                         for im in imaps)
-    omap_stream = (np.concatenate([np.asarray(om, np.int32)
-                                   for om in omaps])
-                   if total_pairs else np.empty(0, np.int32))
-    imap_stream = (np.concatenate([np.asarray(im, np.int32)
-                                   for im in imaps])
-                   if total_pairs else np.empty(0, np.int32))
+    imap_q_np = np.concatenate(imap_q) if imap_q else np.empty(0, np.int32)
+    omap_q_np = np.concatenate(omap_q) if omap_q else np.empty(0, np.int32)
     plan_by_out = plan_by_in = None
     if total_pairs:
         from dgsparse_tpu.core.planner import build_edge_tile_plan
 
-        stream_pos = np.arange(total_pairs, dtype=np.int32)
+        real = np.nonzero(imap_q_np >= 0)[0].astype(np.int32)
 
         def pair_plan(ids, num_rows):
             order = np.argsort(ids, kind="stable")
             rowptr_p = np.zeros(num_rows + 1, np.int64)
             np.add.at(rowptr_p, ids + 1, 1)
             rowptr_p = np.cumsum(rowptr_p).astype(np.int32)
-            return build_edge_tile_plan(rowptr_p, stream_pos[order],
-                                        total_pairs, sort_cols=False)
+            return build_edge_tile_plan(rowptr_p, real[order],
+                                        len(imap_q_np), sort_cols=False)
 
-        plan_by_out = pair_plan(omap_stream, num_out)
-        plan_by_in = pair_plan(imap_stream, nnz)
+        plan_by_out = pair_plan(omap_q_np[real], num_out)
+        plan_by_in = pair_plan(imap_q_np[real], nnz)
 
     return SpConvPlan(
         imap=jnp.asarray(np.concatenate(imap_q) if imap_q else
@@ -290,8 +283,6 @@ def _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz, separate_mid,
                          np.empty(0, np.int32)),
         o2i=jnp.asarray(o2i),
         i2o=jnp.asarray(i2o),
-        imap_compact=imap_compact,
-        omap_stream=jnp.asarray(omap_stream),
         plan_by_out=plan_by_out,
         plan_by_in=plan_by_in,
         knnz=tuple(int(k) for k in knnz),
@@ -358,30 +349,34 @@ def _spconv_fwd_impl(features, kernel, plan):
     c_out = kernel.shape[-1]
     mid = (plan.k_vol - 1) // 2
     if plan.use_esc():
-        # Sparse-cloud path: gather ONLY the hit input rows per offset
-        # (compact imap), project them (small MXU matmuls), and one-hot-
-        # scatter the concatenated pair stream by output id via the ESC
-        # kernel — no num_out-sized wasted gathers or projections (a 2.7%-
-        # dense LiDAR cloud wastes 97% of both on the masked-dense path).
+        # Sparse-cloud path: gather ONLY hit pairs (Q-padded rulebook
+        # stream, ONE masked take), project all offsets in ONE batched
+        # per-tile einsum (every Q-tile has a single weight slice, the
+        # reference's qkpos invariant), then one-hot-scatter the stream by
+        # output id via the ESC kernel. A 2.7%-dense LiDAR cloud wastes 97%
+        # of both gathers and projections on the masked-dense path.
         from dgsparse_tpu.kernels.pallas_spmm import spmm_esc
 
-        chunks = []
-        for kp in range(plan.k_vol):
-            if (plan.separate_mid and kp == mid) or plan.knnz[kp] == 0:
-                continue
-            g_k = jnp.take(features, plan.imap_compact[kp], axis=0)
-            chunks.append(jnp.dot(
-                g_k, kernel[kp],
-                preferred_element_type=jnp.float32).astype(features.dtype))
         out = jnp.zeros((plan.num_out, c_out), features.dtype)
         if plan.separate_mid:
             out = out + jnp.dot(features, kernel[mid],
                                 preferred_element_type=jnp.float32
                                 ).astype(features.dtype)
-        if chunks:
-            stream = jnp.concatenate(chunks, axis=0)
+        total_q = int(plan.qkpos[-1])
+        if total_q:
+            q = plan.quant
+            t = total_q // q
+            valid = (plan.imap >= 0)[:, None]
+            gathered = jnp.where(
+                valid,
+                jnp.take(features, jnp.maximum(plan.imap, 0), axis=0), 0)
+            w_t = jnp.take(kernel, plan.widx[::q], axis=0)
+            stream = jnp.einsum(
+                "tqi,tio->tqo", gathered.reshape(t, q, -1), w_t,
+                preferred_element_type=jnp.float32).astype(features.dtype)
             out = out + spmm_esc(plan.plan_by_out, None,
-                                 stream).astype(features.dtype)
+                                 stream.reshape(total_q, c_out)
+                                 ).astype(features.dtype)
         return out
     # Per-offset H_k = X @ W[k] (MXU) + masked row-gather, looped so peak
     # memory stays O(n * C) instead of materializing [k_vol, n, C].
@@ -418,42 +413,50 @@ def _spconv_vjp_bwd(residuals, g):
     features, kernel, plan = residuals
     mid = (plan.k_vol - 1) // 2
     if plan.use_esc():
-        # Mirror of the compact forward: d_stream is a pure gather of g by
-        # the stream's out ids; per-offset dW from compact rows; dX via the
-        # by-in ESC plan — no scatters anywhere.
+        # Mirror of the fused forward: d_stream is a pure masked gather of
+        # g by the Q-padded out ids; dW via ONE batched einsum (per-offset
+        # slices summed over their tiles); dX via the by-in ESC plan — no
+        # scatters anywhere.
         from dgsparse_tpu.kernels.pallas_spmm import spmm_esc
 
-        d_stream = jnp.take(g, plan.omap_stream, axis=0)     # [P, c_out]
-        d_kernel_parts = []
-        d_g_chunks = []
-        for kp in range(plan.k_vol):
-            if plan.separate_mid and kp == mid:
-                d_kernel_parts.append(jnp.dot(
-                    features.T, g.astype(features.dtype),
-                    preferred_element_type=jnp.float32).astype(kernel.dtype))
-                continue
-            if plan.knnz[kp] == 0:
-                d_kernel_parts.append(
-                    jnp.zeros(kernel.shape[1:], kernel.dtype))
-                continue
-            d_c_k = d_stream[plan.kpos[kp]:plan.kpos[kp + 1]]
-            g_k = jnp.take(features, plan.imap_compact[kp], axis=0)
-            d_kernel_parts.append(jnp.dot(
-                g_k.T, d_c_k.astype(features.dtype),
-                preferred_element_type=jnp.float32).astype(kernel.dtype))
-            d_g_chunks.append(jnp.dot(
-                d_c_k, kernel[kp].T,
-                preferred_element_type=jnp.float32).astype(features.dtype))
         d_features = jnp.zeros_like(features)
         if plan.separate_mid:
             d_features = d_features + jnp.dot(
-                g, kernel[mid].T,
+                g.astype(features.dtype), kernel[mid].T,
                 preferred_element_type=jnp.float32).astype(features.dtype)
-        if d_g_chunks:
+        total_q = int(plan.qkpos[-1])
+        d_kernel = jnp.zeros_like(kernel)
+        if plan.separate_mid:
+            d_kernel = d_kernel.at[mid].set(jnp.dot(
+                features.T, g.astype(features.dtype),
+                preferred_element_type=jnp.float32).astype(kernel.dtype))
+        if total_q:
+            q = plan.quant
+            t = total_q // q
+            valid = (plan.imap >= 0)[:, None]
+            d_stream = jnp.where(
+                valid, jnp.take(g, plan.omap, axis=0), 0
+            ).astype(features.dtype).reshape(t, q, -1)
+            gathered = jnp.where(
+                valid,
+                jnp.take(features, jnp.maximum(plan.imap, 0), axis=0), 0
+            ).reshape(t, q, -1)
+            # per-tile dW, summed per offset over its (contiguous) tiles
+            dw_t = jnp.einsum("tqi,tqo->tio", gathered, d_stream,
+                              preferred_element_type=jnp.float32)
+            for kp in range(plan.k_vol):
+                t0 = plan.qkpos[kp] // q
+                t1 = plan.qkpos[kp + 1] // q
+                if t1 > t0:
+                    d_kernel = d_kernel.at[kp].add(
+                        dw_t[t0:t1].sum(0).astype(kernel.dtype))
+            w_t = jnp.take(kernel, plan.widx[::q], axis=0)
+            d_gathered = jnp.einsum(
+                "tqo,tio->tqi", d_stream, w_t,
+                preferred_element_type=jnp.float32).astype(features.dtype)
             d_features = d_features + spmm_esc(
                 plan.plan_by_in, None,
-                jnp.concatenate(d_g_chunks, axis=0)).astype(features.dtype)
-        d_kernel = jnp.stack(d_kernel_parts)
+                d_gathered.reshape(total_q, -1)).astype(features.dtype)
         d_plan = jax.tree.map(
             lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), plan)
         return d_features, d_kernel, d_plan
