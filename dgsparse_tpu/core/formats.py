@@ -178,7 +178,7 @@ class Storage:
                 else:
                     bek = build_bucketed_ell_plan(rowptr_np, col_np,
                                                   num_cols)
-                    if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 16:
+                    if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 24:
                         self._ell_fwd = bek
             # BELL 2D plans only pay off when cells genuinely fill (measured:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.

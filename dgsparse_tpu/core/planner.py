@@ -232,6 +232,14 @@ class BucketedEllPlan:
         return total / max(self.nnz, 1)
 
 
+# Bucket K ladder: ~1.4x steps keep padding under ~1.35 (pow2 steps allow
+# up to 2x within a bucket).
+_K_LADDER = np.array([1, 2, 3, 4, 6, 8, 11, 16, 22, 32, 45, 64, 91, 128,
+                      181, 256, 362, 512, 724, 1024, 1448, 2048, 2896,
+                      4096, 5793, 8192, 11585, 16384, 23170, 32768,
+                      46341, 65536], np.int64)
+
+
 def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
                             num_cols: int) -> BucketedEllPlan:
     rowptr = np.asarray(jax.device_get(rowptr))
@@ -239,9 +247,9 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
     m = len(rowptr) - 1
     nnz = len(col)
     deg = np.diff(rowptr).astype(np.int64)
-    # bucket id = ceil(log2(max(deg,1))); empty rows share bucket 0
+    # bucket = index of the smallest ladder K >= degree; empty rows bucket 0
     kb = np.maximum(deg, 1)
-    bucket = np.ceil(np.log2(kb)).astype(np.int64)
+    bucket = np.searchsorted(_K_LADDER, kb, side="left").astype(np.int64)
     order = np.argsort(bucket, kind="stable")  # rows in bucket order
     # inv_row[original_row] = its position in the bucket-sorted concat
     inv_row = np.empty(m, np.int32)
@@ -254,7 +262,7 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
     ends = np.concatenate([boundaries, [m]])
     for s, t in zip(starts, ends):
         rows = order[s:t]
-        k = 1 << int(sorted_bucket[s])
+        k = int(_K_LADDER[int(sorted_bucket[s])])
         rb = len(rows)
         c = np.zeros((rb, k), np.int32)
         msk = np.zeros((rb, k), np.float32)
