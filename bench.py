@@ -102,9 +102,11 @@ def child(algorithm_name: str, out_path: str) -> None:
 def main():
     results = []
     with tempfile.TemporaryDirectory() as td:
-        for alg, timeout in (("PALLAS_ROW_TILE", 900),
-                             ("PALLAS_EDGE_TILE", 600),
-                             ("XLA_SEGMENT", 600)):
+        # Two children keep the worst case bounded (~18 min): the row-tile
+        # Pallas path (fastest measured) and the XLA fallback as the safety
+        # net if the Pallas child fails or the device misbehaves.
+        for alg, timeout in (("PALLAS_ROW_TILE", 700),
+                             ("XLA_SEGMENT", 400)):
             out_path = os.path.join(td, f"{alg}.json")
             try:
                 subprocess.run(
