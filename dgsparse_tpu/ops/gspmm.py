@@ -138,28 +138,28 @@ def _gspmm_bwd(reduce, compute, has_value, residuals, g):
                 indices_are_sorted=True,
             ).astype(dense.dtype)
     else:
-        valid = arg_edge < nnz
-        safe_edge = jnp.minimum(arg_edge, nnz - 1)
-        win_col = jnp.take(col, safe_edge)                 # [M, F]
-        fcols = jnp.arange(g.shape[-1])[None, :]
-        e = (jnp.take(values, safe_edge).astype(g.dtype) if has_value
-             else jnp.ones_like(g))
-        feat_w = dense[win_col, fcols].astype(g.dtype)
-        de, df = _dcompute(compute, e, feat_w)
-        gz = jnp.where(valid, g, 0)
+        # Winner gradients in EDGE space (element scatters are serialized
+        # on TPU — see ops/spmm.py): per-edge winner masks from a sorted
+        # row gather of arg_edge, combine partials, then a row-granular
+        # transpose segment reduction.
+        g32 = g.astype(jnp.float32)
+        arg_rows = jnp.take(arg_edge, coo_row, axis=0)       # [nnz, F]
+        eids = jnp.arange(nnz, dtype=arg_rows.dtype)[:, None]
+        win = arg_rows == eids
+        g_rows = jnp.where(win, jnp.take(g32, coo_row, axis=0), 0)
+        feat_e = jnp.take(dense, col, axis=0).astype(jnp.float32)
+        e = (values[:, None].astype(jnp.float32) if has_value
+             else jnp.ones((nnz, 1), jnp.float32))
+        de, df = _dcompute(compute, e, feat_e)
         if has_value:
-            d_values = (
-                jnp.zeros((nnz,), g.dtype)
-                .at[safe_edge].add(gz * de)
-                .astype(values.dtype)
-            )
+            d_values = jnp.sum(g_rows * de, axis=-1).astype(values.dtype)
         else:
             d_values = jnp.zeros_like(values)
-        d_dense = (
-            jnp.zeros(dense.shape, g.dtype)
-            .at[win_col, fcols].add(gz * df)
-            .astype(dense.dtype)
-        )
+        contrib_csc = jnp.take(g_rows * df, perm, axis=0)
+        csc_col = expand_rowptr(colptr, nnz)
+        d_dense = jax.ops.segment_sum(
+            contrib_csc, csc_col, num_segments=dense.shape[0],
+            indices_are_sorted=True).astype(dense.dtype)
 
     return jax.tree.map(_int_zero, idx), d_values, d_dense
 
