@@ -216,32 +216,14 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             d_values = jnp.zeros_like(values)
             contrib = g_rows
         # d_dense[c] = sum over edges (.,c) of contrib — transpose segment.
+        # Measured (ablation, p2p@F=128): XLA sorted segment ~17 ms here vs
+        # ~53 ms for the ESC segment-matmul route in this already-gather-
+        # heavy backward — keep the sorted segment.
         contrib_csc = jnp.take(contrib, perm, axis=0)
-        alg_t = _resolve_algorithm(algorithm, plan_bwd, bell_bwd, nnz,
-                                   ReduceOp.SUM)
-        if alg_t in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE,
-                     Algorithm.PALLAS_BELL) and plan_bwd is not None \
-                and g.shape[-1] <= 2048:
-            from dgsparse_tpu.kernels.pallas_spmm import (_round_up,
-                                                          segment_matmul)
-
-            f = g.shape[-1]
-            f_pad = _round_up(max(f, 128), 128)
-            cp = jnp.pad(contrib_csc, ((0, 0), (0, f_pad - f))) \
-                if f_pad != f else contrib_csc
-            slot_valid = (plan_bwd.eperm >= 0)[:, None]
-            slots = jnp.where(
-                slot_valid,
-                jnp.take(cp, jnp.maximum(plan_bwd.eperm, 0), axis=0), 0)
-            d_dense = segment_matmul(
-                slots, plan_bwd.lrow, plan_bwd.tile_rb, plan_bwd.num_tiles,
-                plan_bwd.edge_tile, plan_bwd.row_block, dense.shape[0]
-            )[:, :f].astype(dense.dtype)
-        else:
-            csc_col = expand_rowptr(colptr, nnz)
-            d_dense = jax.ops.segment_sum(
-                contrib_csc, csc_col, num_segments=dense.shape[0],
-                indices_are_sorted=True).astype(dense.dtype)
+        csc_col = expand_rowptr(colptr, nnz)
+        d_dense = jax.ops.segment_sum(
+            contrib_csc, csc_col, num_segments=dense.shape[0],
+            indices_are_sorted=True).astype(dense.dtype)
         d_idx = jax.tree.map(_int_zero, idx)
         return d_idx, d_values, d_dense
 
