@@ -28,6 +28,7 @@ from dgsparse_tpu.core.transform import csr2csc, coo2csr, csr2coo
 from dgsparse_tpu.core import ftransform
 from dgsparse_tpu.ops.types import ReduceOp, ComputeOp, Algorithm
 from dgsparse_tpu.ops.spmm import spmm, spmm_sum, spmm_mean, spmm_max, spmm_min
+from dgsparse_tpu.ops.spmm_mh import spmm_multihead
 from dgsparse_tpu.ops.sddmm import sddmm, sddmm_coo
 from dgsparse_tpu.ops.gspmm import gspmm, GSpMM_u_e, GSpMM_u
 from dgsparse_tpu.ops.edge_softmax import edge_softmax
@@ -63,6 +64,7 @@ __all__ = [
     "spmm_mean",
     "spmm_max",
     "spmm_min",
+    "spmm_multihead",
     "sddmm",
     "sddmm_coo",
     "gspmm",

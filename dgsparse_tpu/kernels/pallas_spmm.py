@@ -423,3 +423,52 @@ def gspmm_esc(
         plan.num_tiles, plan.edge_tile, plan.row_block, plan.num_rows,
     )
     return out[:, :f] if f_pad != f else out
+
+
+def spmm_esc_mh(
+    plan: EdgeTilePlan,
+    values: Optional[jax.Array],   # [nnz, H] in CSR edge order, or None
+    dense: jax.Array,              # [N, H, F]
+    reduce: ReduceOp = ReduceOp.SUM,
+    degrees: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Multi-head ESC SpMM: per-head edge values, shared structure.
+
+    Heads fold into the feature axis so ONE segment matmul serves all
+    heads — the batched analog of launching the reference SpMM once per
+    head (no multi-head kernel exists in the reference; GAT-style models
+    there would loop). Returns [num_rows, H, F]; SUM/MEAN only.
+    """
+    n, h, f = dense.shape
+    hf = h * f
+    hf_pad = _round_up(max(hf, 128), 128)
+    if hf_pad > 2048:
+        raise ValueError(
+            f"H*F = {hf} exceeds the single-F-block VMEM budget; "
+            "split heads or use Algorithm.XLA_SEGMENT")
+    valid = plan.eperm >= 0
+    safe_perm = jnp.maximum(plan.eperm, 0)
+    feats = jnp.take(dense.reshape(n, hf), plan.cols, axis=0)    # [T*E, H*F]
+    if values is None:
+        contrib = feats
+    else:
+        v = jnp.take(values, safe_perm, axis=0).astype(feats.dtype)
+        contrib = (feats.reshape(-1, h, f) * v[:, :, None]).reshape(-1, hf)
+    if reduce == ReduceOp.MEAN:
+        if degrees is None:
+            raise ValueError("degrees required for MEAN")
+        rb = jnp.repeat(plan.tile_rb, plan.edge_tile)
+        rows = rb * plan.row_block + plan.lrow
+        deg = jnp.take(jnp.maximum(degrees, 1),
+                       jnp.minimum(rows, plan.num_rows - 1))
+        contrib = contrib / deg.astype(contrib.dtype)[:, None]
+    elif reduce != ReduceOp.SUM:
+        raise ValueError("spmm_esc_mh handles SUM/MEAN only")
+    contrib = jnp.where(valid[:, None], contrib, 0)
+    if hf_pad != hf:
+        contrib = jnp.pad(contrib, ((0, 0), (0, hf_pad - hf)))
+    out = segment_matmul(
+        contrib, plan.lrow, plan.tile_rb,
+        plan.num_tiles, plan.edge_tile, plan.row_block, plan.num_rows,
+    )
+    return out[:, :hf].reshape(plan.num_rows, h, f)

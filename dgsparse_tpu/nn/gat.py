@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from dgsparse_tpu.core.formats import SparseTensor
 from dgsparse_tpu.ops.edge_softmax import edge_softmax
-from dgsparse_tpu.ops.spmm import spmm_sum
+from dgsparse_tpu.ops.spmm_mh import spmm_multihead
 from dgsparse_tpu.ops.types import Algorithm
 
 
@@ -44,11 +44,8 @@ class GATConv(nn.Module):
         logits = nn.leaky_relu(logits, self.negative_slope)  # [nnz, H]
 
         alpha = edge_softmax(adj, logits)         # [nnz, H] all heads at once
-        outs = [
-            spmm_sum(adj.set_values(alpha[:, k]), h[:, k, :], self.algorithm)
-            for k in range(self.num_heads)
-        ]
-        return jnp.concatenate(outs, axis=-1)
+        out = spmm_multihead(adj, alpha, h, "sum", self.algorithm)
+        return out.reshape(x.shape[0], self.num_heads * self.out_features)
 
 
 class GAT(nn.Module):

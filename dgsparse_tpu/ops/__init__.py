@@ -5,9 +5,11 @@ from dgsparse_tpu.ops import (  # noqa: F401
     segment,
     spconv,
     spmm,
+    spmm_mh,
     types,
 )
 from dgsparse_tpu.ops.segment import sorted_segment_sum  # noqa: F401
+from dgsparse_tpu.ops.spmm_mh import spmm_multihead  # noqa: F401
 from dgsparse_tpu.ops.spconv import (  # noqa: F401
     SparseConvTensor,
     SpConvPlan,
