@@ -7,7 +7,7 @@ header comment sketches, src/spconv.cpp:11-17) and give a usable layer API:
 SubMConv3d (submanifold, stride 1) and SparseConv3d (strided/downsampling).
 """
 
-from typing import Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import flax.linen as nn
 
@@ -16,11 +16,23 @@ import jax.numpy as jnp
 from dgsparse_tpu.ops.spconv import SparseConvTensor, spconv
 
 
+def _cast(features, w, b, compute_dtype):
+    """bf16/fp16 compute mode (the reference ships fp16/tf32 spconv kernel
+    variants, src/cuda/spconv_cuda.cu; on TPU the MXU accumulates in fp32
+    either way, so casting inputs is the whole story)."""
+    if compute_dtype is None:
+        return features, w, b
+    return (features.astype(compute_dtype), w.astype(compute_dtype),
+            b.astype(compute_dtype))
+
+
 class SubMConv3d(nn.Module):
     """Submanifold sparse conv: output sites == input sites."""
 
     out_channels: int
     kernel_size: Union[int, Tuple[int, int, int]] = 3
+    compute_dtype: Optional[Any] = None   # e.g. jnp.bfloat16
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, st: SparseConvTensor) -> SparseConvTensor:
@@ -31,9 +43,11 @@ class SubMConv3d(nn.Module):
         c_in = st.features.shape[-1]
         w = self.param(
             "kernel", nn.initializers.he_normal(),
-            (plan.k_vol, c_in, self.out_channels))
-        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        out = spconv(st.features, w, plan) + b
+            (plan.k_vol, c_in, self.out_channels), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,),
+                       self.param_dtype)
+        f, w, b = _cast(st.features, w, b, self.compute_dtype)
+        out = spconv(f, w, plan) + b
         return st.replace(features=out)
 
 
@@ -44,6 +58,8 @@ class SparseConv3d(nn.Module):
     kernel_size: Union[int, Tuple[int, int, int]] = 3
     stride: Union[int, Tuple[int, int, int]] = 2
     padding: Union[int, Tuple[int, int, int]] = 1
+    compute_dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, st: SparseConvTensor) -> SparseConvTensor:
@@ -52,9 +68,11 @@ class SparseConv3d(nn.Module):
         c_in = st.features.shape[-1]
         w = self.param(
             "kernel", nn.initializers.he_normal(),
-            (plan.k_vol, c_in, self.out_channels))
-        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        out = spconv(st.features, w, plan) + b
+            (plan.k_vol, c_in, self.out_channels), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,),
+                       self.param_dtype)
+        f, w, b = _cast(st.features, w, b, self.compute_dtype)
+        out = spconv(f, w, plan) + b
         st_strides = tuple(
             -(-s // k) for s, k in zip(
                 st.spatial_shape,
@@ -72,6 +90,8 @@ class SparseInverseConv3d(nn.Module):
     `fine_st`."""
 
     out_channels: int
+    compute_dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, coarse_features, fine_st: SparseConvTensor,
@@ -85,9 +105,12 @@ class SparseInverseConv3d(nn.Module):
         plan = fine_st._plans[key]
         c_in = coarse_features.shape[-1]
         w = self.param("kernel", nn.initializers.he_normal(),
-                       (plan.k_vol, c_in, self.out_channels))
-        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        out = spconv(coarse_features, w, plan) + b
+                       (plan.k_vol, c_in, self.out_channels),
+                       self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,),
+                       self.param_dtype)
+        f, w, b = _cast(coarse_features, w, b, self.compute_dtype)
+        out = spconv(f, w, plan) + b
         return fine_st.replace(features=out)
 
 

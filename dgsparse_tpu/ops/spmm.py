@@ -180,47 +180,71 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
     else:
         # MAX/MIN: gradient flows only through the winning edge per output
         # element (masked variants, src/spmm.cpp:127-134,183-190).
-        # If the forward ran the Pallas kernel, `arg_edge` is in PLAN-SLOT
-        # space (the forward avoids the [M,F] slot->edge gather); convert
-        # here. The dispatch decision is fully static, so recomputing it
-        # reproduces the forward's choice exactly.
+        # A per-(output, feature) element scatter (.at[win_col, f].add) is
+        # catastrophically serialized on TPU (measured 66 ms for p2p@F=32),
+        # so both paths build winner MASKS via row gathers and finish with
+        # a row-granular sorted segment reduction. The dispatch decision is
+        # fully static, so recomputing it reproduces the forward's choice.
         alg_mm = _resolve_algorithm(algorithm, plan_fwd, bell_fwd, nnz,
                                     reduce)
         used_pallas = (alg_mm in (Algorithm.PALLAS_ROW_TILE,
                                   Algorithm.PALLAS_EDGE_TILE,
                                   Algorithm.PALLAS_BELL)
                        and g.shape[-1] <= 2048 and plan_fwd is not None)
-        if used_pallas:
-            te = plan_fwd.padded_edges
-            safe_slot = jnp.minimum(arg_edge, te - 1)
-            edge = jnp.take(plan_fwd.eperm, safe_slot)
-            arg_edge = jnp.where(
-                jnp.logical_and(arg_edge < te, edge >= 0), edge, nnz)
-
-        # Winner gradients in EDGE space: a per-(output, feature) element
-        # scatter (.at[win_col, f].add) is catastrophically serialized on
-        # TPU (measured 66 ms for p2p@F=32). Instead: per-edge winner masks
-        # from a sorted row gather of arg_edge, then a row-granular segment
-        # reduction (ESC transpose plan when available).
         g32 = g.astype(jnp.float32)
-        arg_rows = jnp.take(arg_edge, coo_row, axis=0)       # [nnz, F]
-        eids = jnp.arange(nnz, dtype=arg_rows.dtype)[:, None]
-        win = arg_rows == eids                               # [nnz, F]
-        g_rows = jnp.where(win, jnp.take(g32, coo_row, axis=0), 0)
-        if has_value:
-            d_values = jnp.sum(
-                g_rows * jnp.take(dense, col, axis=0).astype(jnp.float32),
-                axis=-1).astype(values.dtype)
-            contrib = g_rows * values[:, None].astype(jnp.float32)
+        csc_col = expand_rowptr(colptr, nnz)
+        if used_pallas:
+            # Pallas forward → `arg_edge` is in PLAN-SLOT space. Stay there:
+            # converting slot→edge costs an [M,F] ELEMENT gather
+            # (eperm[arg_slot], ~5 ns/element ≈ 40 ms for p2p@F=128 — it
+            # dominated the backward). In slot space the winner test is a
+            # ROW gather of arg against each slot's owning row, compared to
+            # a slot iota; fwd plans keep CSR edge order within each row
+            # (sort_cols=False), so earliest-slot ties == earliest-edge.
+            plan = plan_fwd
+            rows_slot = (jnp.repeat(plan.tile_rb, plan.edge_tile)
+                         * plan.row_block + plan.lrow)       # [slots]
+            safe_rows = jnp.minimum(rows_slot, plan.num_rows - 1)
+            valid = plan.eperm >= 0                          # padding slots
+            arg_rows = jnp.take(arg_edge, safe_rows, axis=0)  # [slots, F]
+            sid = jnp.arange(plan.padded_edges,
+                             dtype=arg_rows.dtype)[:, None]
+            win = jnp.logical_and(arg_rows == sid, valid[:, None])
+            g_rows = jnp.where(win, jnp.take(g32, safe_rows, axis=0), 0)
+            if has_value:
+                feats = jnp.take(dense, plan.cols,
+                                 axis=0).astype(jnp.float32)
+                d_values = jnp.take(jnp.sum(g_rows * feats, axis=-1),
+                                    plan.inv_eperm).astype(values.dtype)
+                v_slot = jnp.take(values, jnp.maximum(plan.eperm, 0))
+                contrib = g_rows * v_slot[:, None].astype(jnp.float32)
+            else:
+                d_values = jnp.zeros_like(values)
+                contrib = g_rows
+            # slot → CSC edge order in one row gather via the composed
+            # permutation (slot position of each CSC-ordered edge).
+            contrib_csc = jnp.take(contrib, jnp.take(plan.inv_eperm, perm),
+                                   axis=0)
         else:
-            d_values = jnp.zeros_like(values)
-            contrib = g_rows
+            # XLA forward → `arg_edge` holds winning EDGE ids per element.
+            arg_rows = jnp.take(arg_edge, coo_row, axis=0)   # [nnz, F]
+            eids = jnp.arange(nnz, dtype=arg_rows.dtype)[:, None]
+            win = arg_rows == eids                           # [nnz, F]
+            g_rows = jnp.where(win, jnp.take(g32, coo_row, axis=0), 0)
+            if has_value:
+                d_values = jnp.sum(
+                    g_rows * jnp.take(dense, col,
+                                      axis=0).astype(jnp.float32),
+                    axis=-1).astype(values.dtype)
+                contrib = g_rows * values[:, None].astype(jnp.float32)
+            else:
+                d_values = jnp.zeros_like(values)
+                contrib = g_rows
+            contrib_csc = jnp.take(contrib, perm, axis=0)
         # d_dense[c] = sum over edges (.,c) of contrib — transpose segment.
         # Measured (ablation, p2p@F=128): XLA sorted segment ~17 ms here vs
         # ~53 ms for the ESC segment-matmul route in this already-gather-
         # heavy backward — keep the sorted segment.
-        contrib_csc = jnp.take(contrib, perm, axis=0)
-        csc_col = expand_rowptr(colptr, nnz)
         d_dense = jax.ops.segment_sum(
             contrib_csc, csc_col, num_segments=dense.shape[0],
             indices_are_sorted=True).astype(dense.dtype)

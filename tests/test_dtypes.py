@@ -51,3 +51,58 @@ def test_sddmm_mixed():
     out32 = sddmm(sp, d1, jnp.asarray(dense))
     assert out32.dtype == jnp.float32
     assert np.isfinite(np.asarray(out32)).all()
+
+
+@pytest.mark.parametrize("force_esc", [False, True])
+def test_spconv_bf16(force_esc):
+    from dgsparse_tpu.ops import spconv as S
+    from tests.test_spconv import dense_conv_oracle, random_cloud
+
+    shape, c_in, c_out = (12, 10, 8), 8, 16
+    coords = random_cloud(140, shape, 1, seed=42)
+    rng = np.random.default_rng(43)
+    feats = rng.standard_normal((len(coords), c_in)).astype(np.float32)
+    kernel = rng.standard_normal((27, c_in, c_out)).astype(np.float32) * 0.1
+    plan, _ = S.build_rulebook(coords, 3, 1, 1, spatial_shape=shape)
+    ref = dense_conv_oracle(coords, feats, kernel, shape, 1, 1, 1)[
+        coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]]
+
+    S._FORCE_ESC[0] = force_esc
+    try:
+        fb = jnp.asarray(feats).astype(jnp.bfloat16)
+        kb = jnp.asarray(kernel).astype(jnp.bfloat16)
+        out = S.spconv(fb, kb, plan)
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), ref, rtol=0.08, atol=0.08)
+        gf, gw = jax.grad(
+            lambda f, w: jnp.vdot(S.spconv(f, w, plan).astype(jnp.float32),
+                                  jnp.asarray(ref)),
+            argnums=(0, 1))(fb, kb)
+        assert gf.dtype == jnp.bfloat16 and gw.dtype == jnp.bfloat16
+    finally:
+        S._FORCE_ESC[0] = False
+
+
+def test_spconv_module_compute_dtype():
+    from dgsparse_tpu.nn.sparse_conv import SubMConv3d
+    from dgsparse_tpu.ops.spconv import SparseConvTensor
+    from tests.test_spconv import random_cloud
+
+    coords = random_cloud(120, (10, 10, 8), 1, seed=1)
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.standard_normal((len(coords), 8)).astype(
+        np.float32))
+    st = SparseConvTensor(feats, coords, (10, 10, 8))
+    m = SubMConv3d(16, compute_dtype=jnp.bfloat16)
+    params = m.init(jax.random.key(0), st)
+    # params stay fp32 (param_dtype default), activations bf16
+    assert params["params"]["kernel"].dtype == jnp.float32
+    out = m.apply(params, st)
+    assert out.features.dtype == jnp.bfloat16
+
+    m32 = SubMConv3d(16)
+    out32 = m32.apply(params, st)
+    np.testing.assert_allclose(
+        np.asarray(out.features, np.float32), np.asarray(out32.features),
+        rtol=0.08, atol=0.08)
