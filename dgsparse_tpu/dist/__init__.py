@@ -4,7 +4,8 @@ from dgsparse_tpu.dist.shard import (
     pad_nodes,
     shard_csr,
     spmm_sharded,
+    spmm_sharded_2d,
 )
 
 __all__ = ["ShardedCSR", "shard_csr", "spmm_sharded",
-           "spmm_feature_sharded", "pad_nodes"]
+           "spmm_sharded_2d", "spmm_feature_sharded", "pad_nodes"]

@@ -225,3 +225,60 @@ def pad_nodes(x: jax.Array, num_shards: int) -> jax.Array:
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
     return x
+
+
+def spmm_sharded_2d(
+    sharded: ShardedCSR,
+    x: jax.Array,                 # [num_cols_padded, F] sharded (graph, feat)
+    mesh: Mesh,
+    graph_axis: str = "graph",
+    feat_axis: str = "feat",
+    reduce: str = "sum",
+) -> jax.Array:
+    """2-D mesh SpMM: rows of A over `graph_axis`, feature columns over
+    `feat_axis` (the scaling-book mesh recipe: each collective rides one
+    ICI axis). Every device holds its row-block's plan and a feature slice;
+    the forward all-gathers x along `graph_axis` ONLY (feature slices never
+    move), computes the local ESC SpMM on [N_pad, F/feat] and needs no
+    output collective. Backward = psum_scatter along `graph_axis` (autodiff
+    of the all_gather), again per feature slice.
+
+    Combines the two 1-D strategies: communication volume drops by the
+    feat-axis size vs pure row sharding; plan memory drops by the graph-
+    axis size vs pure feature sharding.
+    """
+    rps = sharded.rows_per_shard
+    if reduce not in ("sum", "mean"):
+        raise ValueError("sharded spmm supports sum/mean")
+    use_pallas = jax.default_backend() == "tpu" or _FORCE_PALLAS[0]
+
+    def local(rowptr, col, values, lrow, pc, pv, pl, prb, x_shard):
+        xg = jax.lax.all_gather(x_shard, graph_axis, tiled=True)
+        if use_pallas:
+            from dgsparse_tpu.kernels.pallas_spmm import segment_matmul
+
+            f = xg.shape[-1]
+            f_pad = -(-max(f, 128) // 128) * 128
+            xp = jnp.pad(xg, ((0, 0), (0, f_pad - f))) if f_pad != f else xg
+            contrib = jnp.take(xp, pc[0], axis=0) * pv[0][:, None]
+            out = segment_matmul(
+                contrib, pl[0].reshape(-1), prb[0], sharded.num_tiles,
+                sharded.edge_tile, sharded.row_block, rps)[:, :f]
+        else:
+            contrib = jnp.take(xg, col[0], axis=0) * values[0][:, None]
+            out = jax.ops.segment_sum(contrib, lrow[0], num_segments=rps,
+                                      indices_are_sorted=True)
+        if reduce == "mean":
+            deg = rowptr[0, 1:] - rowptr[0, :-1]
+            out = out / jnp.maximum(deg, 1).astype(out.dtype)[:, None]
+        return out.astype(x.dtype)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(graph_axis),) * 8 + (P(graph_axis, feat_axis),),
+        out_specs=P(graph_axis, feat_axis),
+        check_vma=False,
+    )
+    return fn(sharded.rowptr, sharded.col, sharded.values,
+              sharded.local_row, sharded.p_cols, sharded.p_vals,
+              sharded.p_lrow, sharded.p_tile_rb, x)
