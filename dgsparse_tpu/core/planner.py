@@ -161,13 +161,14 @@ class EllPlan:
     vals_mask: jax.Array  # [M, K] f32 0/1 validity (edge values are applied
                           # separately so traced values stay traced)
     eperm: jax.Array      # [M, K] int32 original edge position (-1 padding)
+    inv: jax.Array        # [nnz] int32 flat ELL slot (m*K + k) of each edge
     k: int
     num_rows: int
     num_cols: int
     nnz: int
 
     def tree_flatten(self):
-        return (self.cols, self.vals_mask, self.eperm), (
+        return (self.cols, self.vals_mask, self.eperm, self.inv), (
             self.k, self.num_rows, self.num_cols, self.nnz)
 
     @classmethod
@@ -195,9 +196,10 @@ def build_ell_plan(rowptr: np.ndarray, col: np.ndarray,
     cols[row, pos] = col
     mask[row, pos] = 1.0
     eperm[row, pos] = np.arange(nnz, dtype=np.int32)
+    inv = (row * k + pos).astype(np.int32)      # flat slot of edge e
     return EllPlan(cols=jnp.asarray(cols), vals_mask=jnp.asarray(mask),
-                   eperm=jnp.asarray(eperm), k=k, num_rows=m,
-                   num_cols=num_cols, nnz=nnz)
+                   eperm=jnp.asarray(eperm), inv=jnp.asarray(inv), k=k,
+                   num_rows=m, num_cols=num_cols, nnz=nnz)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -212,15 +214,19 @@ class BucketedEllPlan:
     cols: tuple           # per bucket: [rows_b, K_b] int32 jax arrays
     masks: tuple          # per bucket: [rows_b, K_b] f32 0/1
     eperms: tuple         # per bucket: [rows_b, K_b] int32 (-1 padding)
+    rows: tuple           # per bucket: [rows_b] int32 original row ids
     inv_row: jax.Array    # [M] int32: position of original row in the
                           # bucket-sorted concatenation
+    inv: jax.Array        # [nnz] int32 position of edge e in the concat of
+                          # the buckets' flattened [rows_b*K_b] slot arrays
     ks: tuple             # static K_b per bucket
     num_rows: int
     num_cols: int
     nnz: int
 
     def tree_flatten(self):
-        return (self.cols, self.masks, self.eperms, self.inv_row), (
+        return (self.cols, self.masks, self.eperms, self.rows,
+                self.inv_row, self.inv), (
             self.ks, self.num_rows, self.num_cols, self.nnz)
 
     @classmethod
@@ -255,7 +261,9 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
     inv_row = np.empty(m, np.int32)
     inv_row[order] = np.arange(m, dtype=np.int32)
 
-    cols_l, masks_l, eperms_l, ks = [], [], [], []
+    cols_l, masks_l, eperms_l, rows_l, ks = [], [], [], [], []
+    inv = np.zeros(nnz, np.int32)
+    flat_off = 0
     sorted_bucket = bucket[order]
     boundaries = np.nonzero(np.diff(sorted_bucket))[0] + 1
     starts = np.concatenate([[0], boundaries])
@@ -277,13 +285,17 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
             c[rep_row, rep_pos] = col[src]
             msk[rep_row, rep_pos] = 1.0
             ep[rep_row, rep_pos] = src.astype(np.int32)
+            inv[src] = (flat_off + rep_row * k + rep_pos).astype(np.int32)
+        flat_off += rb * k
         cols_l.append(jnp.asarray(c))
         masks_l.append(jnp.asarray(msk))
         eperms_l.append(jnp.asarray(ep))
+        rows_l.append(jnp.asarray(rows.astype(np.int32)))
         ks.append(k)
     return BucketedEllPlan(
         cols=tuple(cols_l), masks=tuple(masks_l), eperms=tuple(eperms_l),
-        inv_row=jnp.asarray(inv_row), ks=tuple(ks), num_rows=m,
+        rows=tuple(rows_l), inv_row=jnp.asarray(inv_row),
+        inv=jnp.asarray(inv), ks=tuple(ks), num_rows=m,
         num_cols=num_cols, nnz=nnz)
 
 

@@ -472,3 +472,61 @@ def spmm_esc_mh(
         plan.num_tiles, plan.edge_tile, plan.row_block, plan.num_rows,
     )
     return out[:, :hf].reshape(plan.num_rows, h, f)
+
+
+def _ell_buckets(plan):
+    """Normalize EllPlan / BucketedEllPlan to a bucket list
+    [(cols, mask, eperm, rows_or_None, K)], plus inv_row (None = identity)."""
+    from dgsparse_tpu.core.planner import BucketedEllPlan
+
+    if isinstance(plan, BucketedEllPlan):
+        return list(zip(plan.cols, plan.masks, plan.eperms, plan.rows,
+                        plan.ks)), plan.inv_row
+    return [(plan.cols, plan.vals_mask, plan.eperm, None, plan.k)], None
+
+
+def spmm_ell_maxmin(plan, values, dense, reduce, compute=None):
+    """MAX/MIN SpMM on the ELL row-balance layout: masked K-axis reduce —
+    no segmented scan, no segment reduction (the winner search is a plain
+    vectorized argmax per row). Replaces the reference's masked max/min
+    kernels (src/cuda/spmm_cuda.cu:169-233) for graphs with an ELL plan;
+    `compute` generalizes to the gspmm-fp semiring grid (include/gspmm.h).
+
+    Returns (out [M, F] in ORIGINAL row order, arg_k [M_concat, F] int32
+    argmax K-slot per element, in BUCKET-CONCAT row order — the backward
+    rebuilds winner masks by comparing against a K iota, gather-free).
+    """
+    from dgsparse_tpu.kernels.xla import combine
+    from dgsparse_tpu.ops.types import ComputeOp
+
+    compute = ComputeOp.MUL if compute is None else compute
+    is_max = reduce == ReduceOp.MAX
+    big = jnp.float32(3.0e38)
+    fill = -big if is_max else big
+    buckets, inv_row = _ell_buckets(plan)
+    outs, args = [], []
+    for cols, mask, eperm, _rows, k in buckets:
+        rb = cols.shape[0]
+        feats = jnp.take(dense, cols.reshape(-1),
+                         axis=0).astype(jnp.float32)
+        feats = feats.reshape(rb, k, -1)
+        if values is not None:
+            v = jnp.take(values, jnp.maximum(eperm, 0).reshape(-1))
+            contrib = combine(compute, v.reshape(rb, k, 1).astype(
+                jnp.float32), feats)
+        else:
+            contrib = feats
+        valid = (mask > 0)[:, :, None]
+        contrib = jnp.where(valid, contrib, fill)
+        out_b = contrib.max(axis=1) if is_max else contrib.min(axis=1)
+        arg_b = (jnp.argmax(contrib, axis=1) if is_max
+                 else jnp.argmin(contrib, axis=1)).astype(jnp.int32)
+        any_valid = mask.max(axis=1) > 0
+        out_b = jnp.where(any_valid[:, None], out_b, 0)   # empty rows -> 0
+        outs.append(out_b)
+        args.append(arg_b)
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    arg = args[0] if len(args) == 1 else jnp.concatenate(args, axis=0)
+    if inv_row is not None:
+        out = jnp.take(out, inv_row, axis=0)
+    return out.astype(dense.dtype), arg

@@ -25,8 +25,9 @@ from dgsparse_tpu.ops.types import ComputeOp, ReduceOp
 
 
 def combine(compute: ComputeOp, edge_vals: jax.Array, feats: jax.Array) -> jax.Array:
-    """Semiring combine; edge_vals is [nnz] (broadcast against [nnz, F])."""
-    e = edge_vals[:, None]
+    """Semiring combine; edge_vals is [nnz] (broadcast against [nnz, F]),
+    or already shaped to broadcast (same ndim as feats)."""
+    e = edge_vals if edge_vals.ndim == feats.ndim else edge_vals[:, None]
     if compute == ComputeOp.ADD:
         return feats + e
     if compute == ComputeOp.SUB:

@@ -63,11 +63,13 @@ def _use_esc(plan, nnz, reduce) -> bool:
             and plan.pad_ratio() <= 4.0)
 
 
+_FORCE_ELL = [False]  # test hook: take the ELL paths off-TPU
+
+
 def _use_ell(ell, reduce) -> bool:
     from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
 
-    return (reduce in (ReduceOp.SUM, ReduceOp.MEAN)
-            and jax.default_backend() == "tpu"
+    return ((jax.default_backend() == "tpu" or _FORCE_ELL[0])
             and (isinstance(ell, EllPlan)
                  or (isinstance(ell, BucketedEllPlan)
                      and ell.pad_ratio() <= 2.0)))
@@ -81,6 +83,8 @@ def _forward(reduce, compute, has_value, idx, values, dense):
     if _use_ell(ell_fwd, reduce):
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
+        if reduce in (ReduceOp.MAX, ReduceOp.MIN):
+            return kp.spmm_ell_maxmin(ell_fwd, vals, dense, reduce, compute)
         return kp.gspmm_ell(ell_fwd, vals, dense, reduce, compute,
                             degrees), None
     if _use_esc(plan_fwd, col.shape[0], reduce):
@@ -137,6 +141,48 @@ def _gspmm_bwd(reduce, compute, has_value, residuals, g):
                 contrib, csc_col, num_segments=dense.shape[0],
                 indices_are_sorted=True,
             ).astype(dense.dtype)
+    elif _use_ell(_ell_fwd, reduce):
+        # ELL forward → `arg_edge` is the winning K-slot per element in
+        # bucket-concat row order; winner masks via a K-iota compare (see
+        # ops/spmm.py), with the semiring partials applied per slot.
+        from dgsparse_tpu.kernels.pallas_spmm import _ell_buckets
+
+        g32 = g.astype(jnp.float32)
+        buckets, _ = _ell_buckets(_ell_fwd)
+        dv_parts, contrib_parts = [], []
+        s0 = 0
+        for cols_b, mask_b, eperm_b, rows_b, k in buckets:
+            rb = cols_b.shape[0]
+            argk = arg_edge[s0:s0 + rb]
+            s0 += rb
+            g_b = g32 if rows_b is None else jnp.take(g32, rows_b, axis=0)
+            kio = jnp.arange(k, dtype=argk.dtype)[None, :, None]
+            win = jnp.logical_and(argk[:, None, :] == kio,
+                                  (mask_b > 0)[:, :, None])
+            g_win = jnp.where(win, g_b[:, None, :], 0)       # [rb, K, F]
+            feats = jnp.take(dense, cols_b.reshape(-1),
+                             axis=0).astype(jnp.float32).reshape(rb, k, -1)
+            e = (jnp.take(values, jnp.maximum(eperm_b, 0)).astype(
+                jnp.float32)[:, :, None] if has_value
+                else jnp.ones((rb, k, 1), jnp.float32))
+            de, df = _dcompute(compute, e, feats)
+            if has_value:
+                dv_parts.append(jnp.sum(g_win * de, axis=-1).reshape(-1))
+            contrib_parts.append((g_win * df).reshape(rb * k, -1))
+        if has_value:
+            dv_flat = (dv_parts[0] if len(dv_parts) == 1
+                       else jnp.concatenate(dv_parts))
+            d_values = jnp.take(dv_flat, _ell_fwd.inv).astype(values.dtype)
+        else:
+            d_values = jnp.zeros_like(values)
+        contrib_flat = (contrib_parts[0] if len(contrib_parts) == 1
+                        else jnp.concatenate(contrib_parts, axis=0))
+        contrib_csc = jnp.take(contrib_flat,
+                               jnp.take(_ell_fwd.inv, perm), axis=0)
+        csc_col = expand_rowptr(colptr, nnz)
+        d_dense = jax.ops.segment_sum(
+            contrib_csc, csc_col, num_segments=dense.shape[0],
+            indices_are_sorted=True).astype(dense.dtype)
     else:
         # Winner gradients in EDGE space (element scatters are serialized
         # on TPU — see ops/spmm.py): per-edge winner masks from a sorted

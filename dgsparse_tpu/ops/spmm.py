@@ -75,6 +75,12 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
             return kx.spmm_forward(coo_row, col, vals, dense, num_rows,
                                    reduce, degrees)
         if reduce in (ReduceOp.MAX, ReduceOp.MIN):
+            if algorithm == Algorithm.PALLAS_ROW_TILE and \
+                    ell_fwd is not None:
+                from dgsparse_tpu.kernels.pallas_spmm import \
+                    spmm_ell_maxmin
+
+                return spmm_ell_maxmin(ell_fwd, vals, dense, reduce)
             from dgsparse_tpu.kernels.pallas_spmm_maxmin import \
                 spmm_maxmin_esc
 
@@ -101,10 +107,12 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
         # measured on v5e: single-K ELL 3.6x over ESC on regular graphs;
         # bucketed ELL 1.65x over ESC at pad 1.39 and at-parity-or-better
         # up to pad ~1.9 (two sessions) — gate at 2.0.
-        if reduce in (ReduceOp.SUM, ReduceOp.MEAN) and (
-                isinstance(ell, EllPlan)
-                or (isinstance(ell, BucketedEllPlan)
-                    and ell.pad_ratio() <= 2.0)):
+        if isinstance(ell, EllPlan) or (
+                isinstance(ell, BucketedEllPlan)
+                and ell.pad_ratio() <= 2.0):
+            # SUM/MEAN: gather + K-sum; MAX/MIN: masked K-axis reduce with
+            # K-slot argmax residuals (no scan, no segment) — both beat the
+            # segment formulations whenever the ELL padding is bounded.
             return Algorithm.PALLAS_ROW_TILE
         if bell is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
             return Algorithm.PALLAS_BELL
@@ -186,14 +194,61 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
         # a row-granular sorted segment reduction. The dispatch decision is
         # fully static, so recomputing it reproduces the forward's choice.
         alg_mm = _resolve_algorithm(algorithm, plan_fwd, bell_fwd, nnz,
-                                    reduce)
+                                    reduce, ell_fwd)
         used_pallas = (alg_mm in (Algorithm.PALLAS_ROW_TILE,
                                   Algorithm.PALLAS_EDGE_TILE,
                                   Algorithm.PALLAS_BELL)
                        and g.shape[-1] <= 2048 and plan_fwd is not None)
+        used_ell = (used_pallas and alg_mm == Algorithm.PALLAS_ROW_TILE
+                    and ell_fwd is not None)
         g32 = g.astype(jnp.float32)
         csc_col = expand_rowptr(colptr, nnz)
-        if used_pallas:
+        if used_ell:
+            # ELL forward → `arg_edge` is the winning K-SLOT per element, in
+            # bucket-concat row order. Winner masks come from comparing
+            # against a K iota — NO gather at all for the mask; the only
+            # gathers are g/dense rows (needed by any formulation) and the
+            # two 1-D edge permutations via plan.inv.
+            from dgsparse_tpu.kernels.pallas_spmm import _ell_buckets
+
+            buckets, _ = _ell_buckets(ell_fwd)
+            dv_parts, contrib_parts = [], []
+            s0 = 0
+            for cols_b, mask_b, eperm_b, rows_b, k in buckets:
+                rb = cols_b.shape[0]
+                argk = arg_edge[s0:s0 + rb]
+                s0 += rb
+                g_b = g32 if rows_b is None else jnp.take(g32, rows_b,
+                                                          axis=0)
+                kio = jnp.arange(k, dtype=argk.dtype)[None, :, None]
+                win = jnp.logical_and(argk[:, None, :] == kio,
+                                      (mask_b > 0)[:, :, None])
+                g_win = jnp.where(win, g_b[:, None, :], 0)   # [rb, K, F]
+                if has_value:
+                    feats = jnp.take(dense, cols_b.reshape(-1),
+                                     axis=0).astype(jnp.float32)
+                    feats = feats.reshape(rb, k, -1)
+                    dv_parts.append(
+                        jnp.sum(g_win * feats, axis=-1).reshape(-1))
+                    v_b = jnp.take(values,
+                                   jnp.maximum(eperm_b, 0)).astype(
+                                       jnp.float32)
+                    contrib_parts.append(
+                        (g_win * v_b[:, :, None]).reshape(rb * k, -1))
+                else:
+                    contrib_parts.append(g_win.reshape(rb * k, -1))
+            if has_value:
+                dv_flat = (dv_parts[0] if len(dv_parts) == 1
+                           else jnp.concatenate(dv_parts))
+                d_values = jnp.take(dv_flat, ell_fwd.inv).astype(
+                    values.dtype)
+            else:
+                d_values = jnp.zeros_like(values)
+            contrib_flat = (contrib_parts[0] if len(contrib_parts) == 1
+                            else jnp.concatenate(contrib_parts, axis=0))
+            contrib_csc = jnp.take(contrib_flat,
+                                   jnp.take(ell_fwd.inv, perm), axis=0)
+        elif used_pallas:
             # Pallas forward → `arg_edge` is in PLAN-SLOT space. Stay there:
             # converting slot→edge costs an [M,F] ELEMENT gather
             # (eperm[arg_slot], ~5 ns/element ≈ 40 ms for p2p@F=128 — it

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from dgsparse_tpu import Algorithm, SparseTensor, spmm
-from dgsparse_tpu.utils.testing import spmm_oracle
+from dgsparse_tpu.utils.testing import random_csr, spmm_oracle
 
 
 def regular_graph(m=700, n=600, deg=8, seed=0):
@@ -140,3 +140,75 @@ def test_gspmm_ell_direct():
             ref = gspmm_oracle(rowptr, col, vals, x, rd, cu)
             np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
                                        atol=1e-5)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+@pytest.mark.parametrize("regular", [True, False])
+def test_ell_maxmin_forward(reduce, regular):
+    """ELL K-axis max/min vs oracle (single-K and bucketed plans)."""
+    from dgsparse_tpu.core.planner import build_bucketed_ell_plan, \
+        build_ell_plan
+    from dgsparse_tpu.kernels.pallas_spmm import spmm_ell_maxmin
+    from dgsparse_tpu.ops.types import ReduceOp
+
+    m, n, f = 150, 120, 24
+    if regular:
+        rowptr, col, values = random_csr(m, n, avg_degree=4, seed=40,
+                                         skew=0.0)
+        plan = build_ell_plan(rowptr, col, n)
+    else:
+        rowptr, col, values = random_csr(m, n, avg_degree=6, seed=41,
+                                         skew=1.0)
+        plan = build_bucketed_ell_plan(rowptr, col, n)
+    rng = np.random.default_rng(42)
+    dense = rng.standard_normal((n, f)).astype(np.float32)
+    red = ReduceOp.MAX if reduce == "max" else ReduceOp.MIN
+    out, arg = spmm_ell_maxmin(plan, jnp.asarray(values),
+                               jnp.asarray(dense), red)
+    ref = spmm_oracle(rowptr, col, values, dense, reduce)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+@pytest.mark.parametrize("has_value", [True, False])
+def test_ell_maxmin_grads_match_xla(reduce, has_value):
+    """K-space winner backward == XLA edge-space backward (integer data =>
+    exact ties, both must pick the earliest edge)."""
+    m, n, f = 900, 800, 16
+    rowptr, col, _ = random_csr(m, n, avg_degree=6, seed=43, skew=1.0)
+    rng = np.random.default_rng(44)
+    values = rng.integers(-3, 4, len(col)).astype(np.float32)
+    dense = rng.integers(-3, 4, (n, f)).astype(np.float32)
+    ct = jnp.asarray(rng.standard_normal((m, f)).astype(np.float32))
+    sp = SparseTensor.from_csr(
+        jnp.asarray(rowptr), jnp.asarray(col),
+        jnp.asarray(values) if has_value else None, sparse_sizes=(m, n))
+    assert sp.storage.ell_plan() is not None
+
+    def loss(v, d, alg):
+        s = sp.set_values(v) if has_value else sp
+        return jnp.vdot(spmm(s, d, reduce, alg), ct)
+
+    v0 = jnp.asarray(values)
+    ge = jax.grad(lambda v, d: loss(v, d, Algorithm.PALLAS_ROW_TILE),
+                  argnums=(0, 1))(v0, jnp.asarray(dense))
+    gx = jax.grad(lambda v, d: loss(v, d, Algorithm.XLA_SEGMENT),
+                  argnums=(0, 1))(v0, jnp.asarray(dense))
+    for a, b in zip(ge, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_ell_maxmin_empty_rows():
+    rowptr = np.array([0, 0, 2, 2, 4], np.int32)
+    col = np.array([1, 3, 0, 2], np.int32)
+    values = np.array([2.0, -1.0, 3.0, 4.0], np.float32)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(values), sparse_sizes=(4, 4))
+    rng = np.random.default_rng(0)
+    dense = rng.standard_normal((4, 8)).astype(np.float32)
+    out = spmm(sp, jnp.asarray(dense), "max", Algorithm.PALLAS_ROW_TILE)
+    ref = spmm_oracle(rowptr, col, values, dense, "max")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(out)[0] == 0) and np.all(
+        np.asarray(out)[2] == 0)

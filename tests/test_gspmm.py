@@ -114,3 +114,65 @@ def test_backward_vs_autodiff(compute, reduce):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gd), np.asarray(rd), rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("compute", ["mul", "add", "div"])
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_gspmm_maxmin_ell_matches_xla(compute, reduce):
+    """ELL K-space semiring max/min (fwd + winner grads) == XLA edge-space
+    path, on integer data so ties are exact."""
+    from dgsparse_tpu.ops import gspmm as G
+
+    m, n, f = 900, 800, 12
+    rowptr, col, _ = random_csr(m, n, avg_degree=6, seed=50, skew=1.0)
+    rng = np.random.default_rng(51)
+    values = rng.integers(1, 5, len(col)).astype(np.float32)  # >0 for div
+    dense = rng.integers(-3, 4, (n, f)).astype(np.float32)
+    ct = jnp.asarray(rng.standard_normal((m, f)).astype(np.float32))
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(values), sparse_sizes=(m, n))
+    assert sp.storage.ell_plan() is not None
+
+    def loss(v, d):
+        return jnp.vdot(G.gspmm(sp.set_values(v), d, reduce, compute), ct)
+
+    v0, d0 = jnp.asarray(values), jnp.asarray(dense)
+    G._FORCE_ELL[0] = True
+    try:
+        out_e = G.gspmm(sp, d0, reduce, compute)
+        ge = jax.grad(loss, argnums=(0, 1))(v0, d0)
+    finally:
+        G._FORCE_ELL[0] = False
+    out_x = G.gspmm(sp, d0, reduce, compute)
+    gx = jax.grad(loss, argnums=(0, 1))(v0, d0)
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(ge, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_gspmm_copy_u_max_ell():
+    from dgsparse_tpu.ops import gspmm as G
+
+    m, n, f = 900, 800, 8
+    rowptr, col, _ = random_csr(m, n, avg_degree=6, seed=52, skew=1.0)
+    rng = np.random.default_rng(53)
+    dense = rng.integers(-3, 4, (n, f)).astype(np.float32)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col), None,
+                               sparse_sizes=(m, n))
+    d0 = jnp.asarray(dense)
+    ct = jnp.asarray(rng.standard_normal((m, f)).astype(np.float32))
+    G._FORCE_ELL[0] = True
+    try:
+        out_e = G.gspmm(sp, d0, "max", "mul")
+        ge = jax.grad(lambda d: jnp.vdot(G.gspmm(sp, d, "max", "mul"),
+                                         ct))(d0)
+    finally:
+        G._FORCE_ELL[0] = False
+    out_x = G.gspmm(sp, d0, "max", "mul")
+    gx = jax.grad(lambda d: jnp.vdot(G.gspmm(sp, d, "max", "mul"), ct))(d0)
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(gx),
+                               rtol=1e-5, atol=1e-5)
