@@ -1,0 +1,49 @@
+"""GE-SpMM standalone API parity shim (src/ge-spmm/gespmm.h analog)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgsparse_tpu import ge_spmm
+from dgsparse_tpu.utils.testing import random_csr, spmm_oracle
+
+
+def make(seed=0, m=180, n=150, f=24):
+    rowptr, col, vals = random_csr(m, n, avg_degree=5, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    B = rng.standard_normal((n, f)).astype(np.float32)
+    d = ge_spmm.SpMatCsrDescr_t(
+        nrow=m, ncol=n, nnz=len(col), indptr=jnp.asarray(rowptr),
+        indices=jnp.asarray(col), data=jnp.asarray(vals))
+    return d, rowptr, col, vals, B
+
+
+@pytest.mark.parametrize("alg", list(ge_spmm.GespmmAlg))
+def test_all_algs_match_oracle(alg):
+    d, rowptr, col, vals, B = make(1)
+    out = ge_spmm.gespmmCsrSpMM(d, jnp.asarray(B), alg)
+    ref = spmm_oracle(rowptr, col, vals, B, "sum")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_non_transpose_layout():
+    d, rowptr, col, vals, B = make(2)
+    out = ge_spmm.gespmmCsrSpMM(d, jnp.asarray(B.T.copy()),
+                                transpose=False)
+    ref = spmm_oracle(rowptr, col, vals, B, "sum")
+    np.testing.assert_allclose(np.asarray(out), ref.T, rtol=1e-4, atol=1e-4)
+
+
+def test_alg_sel_matches_reference_heuristic():
+    assert ge_spmm.gespmmAlgSel(64) == ge_spmm.GespmmAlg.ROWCACHING_ROWBALANCE
+    assert ge_spmm.gespmmAlgSel(16) == ge_spmm.GespmmAlg.SEQREDUCE_ROWBALANCE
+    assert ge_spmm.gespmmAlgSel(2) == ge_spmm.GespmmAlg.PARREDUCE_ROWBALANCE
+    assert ge_spmm.gespmmAlgSel(64, transpose=False) == \
+        ge_spmm.GespmmAlg.PARREDUCE_ROWBALANCE
+
+
+def test_legacy_aliases():
+    d, rowptr, col, vals, B = make(3)
+    out = ge_spmm.spmm_cuda_no_edge_value(d, jnp.asarray(B))
+    ref = spmm_oracle(rowptr, col, None, B, "sum")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
