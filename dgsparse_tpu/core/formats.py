@@ -124,7 +124,8 @@ class Storage:
                     f"[0, {num_cols}) — wrong sparse_sizes?")
 
         if _cached is not None:
-            self._colptr, self._row_csc, self._csr2csc, self._coo_row = _cached
+            (self._colptr, self._row_csc, self._csr2csc, self._coo_row,
+             self._csc_col) = _cached
         elif concrete:
             # Eager CSC cache, mirroring reference storage.py:100 — computed
             # host-side (numpy / native C++), never as eager device ops.
@@ -133,12 +134,18 @@ class Storage:
             self._row_csc = jnp.asarray(row_csc)
             self._csr2csc = jnp.asarray(perm)
             self._coo_row = jnp.asarray(T.expand_rowptr_np(rowptr_np))
+            # per-edge col ids in CSC order: the backward's segment ids.
+            # Precomputed because the jittable expand_rowptr (searchsorted)
+            # costs ~17 binary-search element-gather passes per backward on
+            # TPU (~12 ms at p2p scale) when traced inline.
+            self._csc_col = jnp.asarray(T.expand_rowptr_np(colptr))
         else:
             colptr, row_csc, _, perm = T.csr2csc(rowptr, col, None, num_cols)
             self._colptr = colptr
             self._row_csc = row_csc
             self._csr2csc = perm
             self._coo_row = T.expand_rowptr(rowptr, nnz)
+            self._csc_col = T.expand_rowptr(colptr, nnz)
 
         # Eager edge-tile plans (forward + transpose) for the Pallas kernels,
         # the same construction-time amortization as the CSC cache. Skipped
@@ -216,6 +223,10 @@ class Storage:
         """Per-edge row ids in CSR order."""
         return self._coo_row
 
+    def csc_col(self) -> jax.Array:
+        """Per-edge col ids in CSC order (segment ids of the transpose)."""
+        return self._csc_col
+
     def degrees(self) -> jax.Array:
         return T.row_degrees(self._rowptr)
 
@@ -256,6 +267,7 @@ class Storage:
             self._row_csc,
             self._csr2csc,
             self._coo_row,
+            self._csc_col,
             self._plan_fwd,
             self._plan_bwd,
             self._bell_fwd,
@@ -276,6 +288,7 @@ class Storage:
             obj._row_csc,
             obj._csr2csc,
             obj._coo_row,
+            obj._csc_col,
             obj._plan_fwd,
             obj._plan_bwd,
             obj._bell_fwd,
@@ -393,6 +406,7 @@ class SparseTensor:
         st._values = values
         st._colptr, st._row_csc = src._colptr, src._row_csc
         st._csr2csc, st._coo_row = src._csr2csc, src._coo_row
+        st._csc_col = src._csc_col
         st._plan_fwd, st._plan_bwd = src._plan_fwd, src._plan_bwd
         st._bell_fwd, st._bell_bwd = src._bell_fwd, src._bell_bwd
         st._ell_fwd = src._ell_fwd
@@ -420,17 +434,16 @@ class SparseTensor:
         if isinstance(src._csr2csc, jax.core.Tracer):
             inv = jnp.zeros_like(src._csr2csc).at[src._csr2csc].set(
                 jnp.arange(src._nnz, dtype=jnp.int32))
-            coo_row_t = T.expand_rowptr(src._colptr, src._nnz)
         else:
             perm_np = np.asarray(jax.device_get(src._csr2csc))
             inv_np = np.empty_like(perm_np)
             inv_np[perm_np] = np.arange(src._nnz, dtype=np.int32)
             inv = jnp.asarray(inv_np)
-            coo_row_t = jnp.asarray(T.expand_rowptr_np(
-                np.asarray(jax.device_get(src._colptr))))
         st._colptr, st._row_csc = src._rowptr, src._col
         st._csr2csc = inv
-        st._coo_row = coo_row_t
+        # the transpose's edge-order arrays are the original's CSC twins
+        st._coo_row = src._csc_col
+        st._csc_col = src._coo_row
         st._plan_fwd, st._plan_bwd = src._plan_bwd, src._plan_fwd
         st._bell_fwd, st._bell_bwd = src._bell_bwd, src._bell_fwd
         st._ell_fwd = None

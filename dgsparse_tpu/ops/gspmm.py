@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgsparse_tpu.core.formats import SparseTensor
-from dgsparse_tpu.core.transform import expand_rowptr
 from dgsparse_tpu.kernels import xla as kx
 from dgsparse_tpu.ops.types import ComputeOp, ReduceOp, as_compute, as_reduce
 
@@ -76,7 +75,7 @@ def _use_ell(ell, reduce) -> bool:
 
 
 def _forward(reduce, compute, has_value, idx, values, dense):
-    rowptr, col, coo_row, _, _, _, plan_fwd, _, ell_fwd = idx
+    rowptr, col, coo_row, _, _, _, plan_fwd, _, ell_fwd, _ = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
@@ -104,7 +103,7 @@ def _gspmm_fwd(reduce, compute, has_value, idx, values, dense):
 def _gspmm_bwd(reduce, compute, has_value, residuals, g):
     idx, values, dense, arg_edge = residuals
     (rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd,
-     _ell_fwd) = idx
+     _ell_fwd, csc_col) = idx
     nnz = col.shape[0]
 
     if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
@@ -135,7 +134,6 @@ def _gspmm_bwd(reduce, compute, has_value, residuals, g):
             w_t = jnp.take(w, perm) if w is not None else None
             d_dense = kp.spmm_esc(plan_bwd, w_t, g).astype(dense.dtype)
         else:
-            csc_col = expand_rowptr(colptr, nnz)
             contrib = jnp.take(g_e * df, perm, axis=0)
             d_dense = jax.ops.segment_sum(
                 contrib, csc_col, num_segments=dense.shape[0],
@@ -179,7 +177,6 @@ def _gspmm_bwd(reduce, compute, has_value, residuals, g):
                         else jnp.concatenate(contrib_parts, axis=0))
         contrib_csc = jnp.take(contrib_flat,
                                jnp.take(_ell_fwd.inv, perm), axis=0)
-        csc_col = expand_rowptr(colptr, nnz)
         d_dense = jax.ops.segment_sum(
             contrib_csc, csc_col, num_segments=dense.shape[0],
             indices_are_sorted=True).astype(dense.dtype)
@@ -202,7 +199,6 @@ def _gspmm_bwd(reduce, compute, has_value, residuals, g):
         else:
             d_values = jnp.zeros_like(values)
         contrib_csc = jnp.take(g_rows * df, perm, axis=0)
-        csc_col = expand_rowptr(colptr, nnz)
         d_dense = jax.ops.segment_sum(
             contrib_csc, csc_col, num_segments=dense.shape[0],
             indices_are_sorted=True).astype(dense.dtype)
@@ -220,7 +216,8 @@ def gspmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     reduce, compute = as_reduce(reduce), as_compute(compute)
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
-           st.csr2csc(), st.plan(), st.plan(transpose=True), st.ell_plan())
+           st.csr2csc(), st.plan(), st.plan(transpose=True), st.ell_plan(),
+           st.csc_col())
     values = sparse.values_or_ones()
     return _gspmm(reduce, compute, sparse.has_value, idx, values, dense)
 

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgsparse_tpu.core.formats import SparseTensor
-from dgsparse_tpu.core.transform import expand_rowptr
 from dgsparse_tpu.kernels import xla as kx
 from dgsparse_tpu.ops.types import ReduceOp, as_reduce
 
@@ -35,7 +34,7 @@ def _use_esc(plan, nnz) -> bool:
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _sddmm(reduce: ReduceOp, num_rows: int, num_cols: int, idx, d1, d2):
-    rowptr, col, coo_row, _, _, _, plan_fwd, _ = idx
+    rowptr, col, coo_row, _, _, _, plan_fwd, _, _ = idx
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     if _use_esc(plan_fwd, col.shape[0]):
         from dgsparse_tpu.kernels.pallas_sddmm import sddmm_esc
@@ -50,7 +49,8 @@ def _sddmm_fwd(reduce, num_rows, num_cols, idx, d1, d2):
 
 def _sddmm_bwd(reduce, num_rows, num_cols, residuals, g):
     idx, d1, d2 = residuals
-    rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd = idx
+    rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd, \
+        csc_col = idx
     nnz = col.shape[0]
     if reduce == ReduceOp.MEAN:
         deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1).astype(g.dtype)
@@ -70,7 +70,6 @@ def _sddmm_bwd(reduce, num_rows, num_cols, residuals, g):
             num_segments=num_rows,
             indices_are_sorted=True,
         ).astype(d1.dtype)
-        csc_col = expand_rowptr(colptr, nnz)
         g_csc = jnp.take(g, perm)
         d_d2 = jax.ops.segment_sum(
             jnp.take(d1, row_csc, axis=0) * g_csc[:, None],
@@ -93,7 +92,7 @@ def sddmm(sparse: SparseTensor, d1: jax.Array, d2: jax.Array,
     reduce = as_reduce(reduce)
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
-           st.csr2csc(), st.plan(), st.plan(transpose=True))
+           st.csr2csc(), st.plan(), st.plan(transpose=True), st.csc_col())
     m, n = sparse.sparse_sizes()
     return _sddmm(reduce, m, n, idx, d1, d2)
 

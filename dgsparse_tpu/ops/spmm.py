@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgsparse_tpu.core.formats import SparseTensor
-from dgsparse_tpu.core.transform import expand_rowptr
 from dgsparse_tpu.kernels import xla as kx
 from dgsparse_tpu.ops.types import Algorithm, ReduceOp, as_algorithm, as_reduce
 
@@ -39,9 +38,10 @@ def _int_zero(x):
 def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                   idx, values, dense):
     """Dispatch the forward kernel. idx = (rowptr, col, coo_row, colptr,
-    row_csc, perm, plan_fwd, plan_bwd, bell_fwd, bell_bwd, ell_fwd)."""
+    row_csc, perm, plan_fwd, plan_bwd, bell_fwd, bell_bwd, ell_fwd,
+    csc_col)."""
     (rowptr, col, coo_row, _, _, _, plan_fwd, _, bell_fwd, _,
-     ell_fwd) = idx
+     ell_fwd, _) = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
@@ -137,7 +137,7 @@ def _spmm_fwd(reduce, algorithm, has_value, idx, values, dense):
 def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
     idx, values, dense, arg_edge = residuals
     (rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd,
-     bell_fwd, bell_bwd, ell_fwd) = idx
+     bell_fwd, bell_bwd, ell_fwd, csc_col) = idx
     num_rows = rowptr.shape[0] - 1
     nnz = col.shape[0]
 
@@ -176,7 +176,6 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             vals_t = jnp.take(values, perm) if has_value else None
             d_dense = kp.spmm_esc(plan_bwd, vals_t, g).astype(dense.dtype)
         else:
-            csc_col = expand_rowptr(colptr, nnz)
             contrib = jnp.take(g, row_csc, axis=0)
             if has_value:
                 contrib = contrib * jnp.take(values, perm)[:, None].astype(
@@ -202,7 +201,6 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
         used_ell = (used_pallas and alg_mm == Algorithm.PALLAS_ROW_TILE
                     and ell_fwd is not None)
         g32 = g.astype(jnp.float32)
-        csc_col = expand_rowptr(colptr, nnz)
         if used_ell:
             # ELL forward → `arg_edge` is the winning K-SLOT per element, in
             # bucket-concat row order. Winner masks come from comparing
@@ -327,7 +325,8 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True),
-           st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan())
+           st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan(),
+           st.csc_col())
     values = sparse.values_or_ones()
     return _spmm(reduce, algorithm, sparse.has_value, idx, values, dense)
 

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgsparse_tpu.core.formats import SparseTensor
-from dgsparse_tpu.core.transform import expand_rowptr
 from dgsparse_tpu.ops.types import Algorithm, ReduceOp, as_algorithm, \
     as_reduce
 
@@ -57,7 +56,7 @@ def _xla_mh(coo_row, col, values, dense, num_rows, reduce, degrees):
 
 
 def _forward(reduce, algorithm, has_value, idx, values, dense):
-    rowptr, col, coo_row, _, _, plan_fwd, _ = idx
+    rowptr, col, coo_row, _, _, plan_fwd, _, _ = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
@@ -82,7 +81,8 @@ def _spmm_mh_fwd(reduce, algorithm, has_value, idx, values, dense):
 
 def _spmm_mh_bwd(reduce, algorithm, has_value, residuals, g):
     idx, values, dense = residuals
-    rowptr, col, coo_row, colptr, perm, plan_fwd, plan_bwd = idx
+    rowptr, col, coo_row, colptr, perm, plan_fwd, plan_bwd, \
+        csc_col = idx
     num_rows = rowptr.shape[0] - 1
     nnz = col.shape[0]
     h, f = dense.shape[-2], dense.shape[-1]
@@ -110,7 +110,6 @@ def _spmm_mh_bwd(reduce, algorithm, has_value, residuals, g):
         if has_value:
             contrib = contrib * values[:, :, None].astype(contrib.dtype)
         contrib = jnp.take(contrib, perm, axis=0)
-        csc_col = expand_rowptr(colptr, nnz)
         d_dense = jax.ops.segment_sum(
             contrib.reshape(-1, h * f), csc_col,
             num_segments=dense.shape[0],
@@ -153,7 +152,7 @@ def spmm_multihead(sparse: SparseTensor, values, dense: jax.Array,
             f"values must be [nnz={nnz}, H={dense.shape[1]}], "
             f"got {values.shape}")
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.csr2csc(),
-           st.plan(), st.plan(transpose=True))
+           st.plan(), st.plan(transpose=True), st.csc_col())
     if not has_value:
         values = jnp.ones((nnz, dense.shape[1]), dense.dtype)
     return _spmm_mh(reduce, algorithm, has_value, idx, values, dense)
