@@ -51,6 +51,7 @@ class Storage:
         values: Optional[jax.Array] = None,
         row: Optional[jax.Array] = None,
         sparse_sizes: Optional[Tuple[int, int]] = None,
+        build_plans: bool = True,
         _cached: Optional[tuple] = None,
     ):
         if col is None:
@@ -156,7 +157,10 @@ class Storage:
         self._bell_fwd = None
         self._bell_bwd = None
         self._ell_fwd = None
-        if concrete and nnz > 0:
+        # build_plans=False skips all Pallas plan construction: ops run on
+        # the XLA segment paths with only CSR+CSC resident (~half the device
+        # memory per edge — the Reddit-scale lever; plans cost ~21 B/edge).
+        if build_plans and concrete and nnz > 0:
             from dgsparse_tpu.core.planner import (build_bell_plan,
                                                    build_edge_tile_plan,
                                                    build_ell_plan)
@@ -311,6 +315,7 @@ class SparseTensor:
         values: Optional[jax.Array] = None,
         has_value: bool = False,
         sparse_sizes: Optional[Tuple[int, int]] = None,
+        build_plans: bool = True,
     ):
         self.storage = Storage(
             rowptr=rowptr,
@@ -318,6 +323,7 @@ class SparseTensor:
             values=values if has_value else values,
             row=row,
             sparse_sizes=sparse_sizes,
+            build_plans=build_plans,
         )
         self.has_value = bool(has_value)
 
@@ -329,13 +335,17 @@ class SparseTensor:
         col,
         values=None,
         sparse_sizes: Optional[Tuple[int, int]] = None,
+        build_plans: bool = True,
     ) -> "SparseTensor":
+        """build_plans=False skips Pallas plan construction (XLA paths only,
+        ~half the per-edge device memory — for billion-edge graphs)."""
         return cls(
             rowptr=rowptr,
             col=col,
             values=values,
             has_value=values is not None,
             sparse_sizes=sparse_sizes,
+            build_plans=build_plans,
         )
 
     @classmethod

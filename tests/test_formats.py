@@ -102,3 +102,35 @@ def test_pytree_flatten_roundtrip():
     assert st2.has_value == st.has_value
     np.testing.assert_array_equal(np.asarray(st2.storage.col()),
                                   np.asarray(st.storage.col()))
+
+
+def test_build_plans_false():
+    """Lean mode: no Pallas plans, ops run on XLA paths (the memory lever
+    for 100M+-edge graphs: plans cost ~21 B/edge on top of CSR+CSC)."""
+    from dgsparse_tpu import Algorithm, spmm
+    from dgsparse_tpu.utils.testing import random_csr, spmm_oracle
+
+    rowptr, col, vals = random_csr(900, 800, avg_degree=6, seed=13)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(900, 800),
+                               build_plans=False)
+    assert sp.storage.plan() is None
+    assert sp.storage.plan(transpose=True) is None
+    assert sp.storage.ell_plan() is None
+    assert sp.storage.bell_plan() is None
+    rng = np.random.default_rng(14)
+    dense = rng.standard_normal((800, 8)).astype(np.float32)
+    for reduce in ("sum", "mean", "max"):
+        out = spmm(sp, jnp.asarray(dense), reduce)
+        ref = spmm_oracle(rowptr, col, vals, dense, reduce)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                   atol=1e-4)
+    # explicit Pallas request degrades gracefully to XLA (no plan exists)
+    out = spmm(sp, jnp.asarray(dense), "sum", Algorithm.PALLAS_EDGE_TILE)
+    np.testing.assert_allclose(
+        np.asarray(out), spmm_oracle(rowptr, col, vals, dense, "sum"),
+        rtol=1e-4, atol=1e-4)
+    # structure ops still shared through set_values / t()
+    g = jax.grad(lambda d: (spmm(sp.t(), d, "sum")**2).sum())(
+        jnp.asarray(rng.standard_normal((900, 8)).astype(np.float32)))
+    assert bool(jnp.isfinite(g).all())
