@@ -8,7 +8,15 @@ kernel streams the d1 row block (BlockSpec indexed by the prefetched
 tile->row-block map) and expands it per-edge with an iota-compare one-hot
 on the MXU — the mirror image of the ESC scatter trick. This halves the
 random-gather traffic vs the two-sided XLA formulation.
-"""
+
+
+MEASURED OUTCOME (kept for the record): this kernel LOSES to the plain
+2-row-gather XLA formulation (kernels/xla.sddmm) at every scale tried —
+p2p 3.2 vs 1.8 ms, arxiv-scale 32 vs 14 ms @F=32. SDDMM emits per-edge
+outputs with no reduction, so the two gathers are the entire cost and the
+per-tile one-hot row expansion here is pure overhead. The ops layer
+(ops/sddmm.py, ops/spmm.py d_values) therefore uses kx.sddmm; this kernel
+remains only as a correctness-tested artifact of the experiment."""
 
 import functools
 from typing import Optional

@@ -28,18 +28,22 @@ def _int_zero(x):
 
 
 def _use_esc(plan, nnz) -> bool:
+    """Gate for the backward's SpMMs only — ESC wins for transpose SpMM
+    reductions (eval: 2.3 vs 3.0 ms p2p, 11.4 vs 20 ms arxiv-scale), while
+    the forward's per-edge dots are pure gathers where XLA wins."""
     return (plan is not None and jax.default_backend() == "tpu"
             and nnz >= 4096 and plan.pad_ratio() <= 4.0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _sddmm(reduce: ReduceOp, num_rows: int, num_cols: int, idx, d1, d2):
-    rowptr, col, coo_row, _, _, _, plan_fwd, _, _ = idx
+    # The 2-row-gather XLA formulation beats the Pallas one-hot-expansion
+    # kernel at EVERY measured scale (p2p 1.8 vs 3.2 ms, arxiv-scale 14 vs
+    # 32 ms @F=32): SDDMM has per-edge outputs and no reduction, so the
+    # gather is the whole cost and the kernel's per-tile MXU expansion is
+    # pure overhead (kernels/pallas_sddmm.py retained for the record).
+    rowptr, col, coo_row, _, _, _, _, _, _ = idx
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
-    if _use_esc(plan_fwd, col.shape[0]):
-        from dgsparse_tpu.kernels.pallas_sddmm import sddmm_esc
-
-        return sddmm_esc(plan_fwd, d1, d2, reduce, degrees)
     return kx.sddmm(coo_row, col, d1, d2, reduce, degrees)
 
 

@@ -146,18 +146,10 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1).astype(g.dtype)
             g = g / deg[:, None]
         # d_values = SDDMM(grad, dense): per-edge dot (src/spmm.cpp:66).
-        alg0 = _resolve_algorithm(algorithm, plan_fwd, bell_fwd, nnz,
-                                  ReduceOp.SUM)
-        use_pallas = (alg0 in (Algorithm.PALLAS_ROW_TILE,
-                               Algorithm.PALLAS_EDGE_TILE,
-                               Algorithm.PALLAS_BELL)
-                      and plan_fwd is not None)
+        # Always the 2-row-gather XLA formulation — measured faster than
+        # the Pallas sddmm kernel at every scale (see ops/sddmm.py).
         if not has_value:
             d_values = jnp.zeros_like(values)
-        elif use_pallas:
-            from dgsparse_tpu.kernels.pallas_sddmm import sddmm_esc
-
-            d_values = sddmm_esc(plan_fwd, g, dense).astype(values.dtype)
         else:
             d_values = kx.sddmm(coo_row, col, g, dense).astype(values.dtype)
         # d_dense = A^T · grad via cached CSC (src/spmm.cpp:72-74), on the
