@@ -57,12 +57,44 @@ class ShardedCSR:
     num_tiles: int         # T (max over shards)
     edge_tile: int
     row_block: int
+    row_starts: tuple = None  # [D] first global row per shard (None = d*rps)
 
     def tree_flatten(self):
         return (self.rowptr, self.col, self.values, self.local_row,
                 self.p_cols, self.p_vals, self.p_lrow, self.p_tile_rb), (
             self.num_shards, self.rows_per_shard, self.num_rows,
-            self.num_cols, self.num_tiles, self.edge_tile, self.row_block)
+            self.num_cols, self.num_tiles, self.edge_tile, self.row_block,
+            self.row_starts)
+
+    def _bounds(self):
+        if self.row_starts is None:
+            rs = tuple(d * self.rows_per_shard
+                       for d in range(self.num_shards))
+        else:
+            rs = self.row_starts
+        return rs + (self.num_rows,)
+
+    def to_block_layout(self, x: jax.Array) -> jax.Array:
+        """[num_rows, ...] -> [D*rps, ...]: each shard's row range padded to
+        rows_per_shard (identity + tail padding when balance='rows')."""
+        b = self._bounds()
+        rps = self.rows_per_shard
+        parts = []
+        for d in range(self.num_shards):
+            seg = x[b[d]:b[d + 1]]
+            pad = rps - (b[d + 1] - b[d])
+            if pad:
+                seg = jnp.pad(seg, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+            parts.append(seg)
+        return jnp.concatenate(parts, axis=0)
+
+    def from_block_layout(self, y: jax.Array) -> jax.Array:
+        """Inverse of to_block_layout: [D*rps, ...] -> [num_rows, ...]."""
+        b = self._bounds()
+        rps = self.rows_per_shard
+        return jnp.concatenate(
+            [y[d * rps: d * rps + (b[d + 1] - b[d])]
+             for d in range(self.num_shards)], axis=0)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -70,20 +102,59 @@ class ShardedCSR:
 
 
 def shard_csr(sp: SparseTensor, num_shards: int,
-              edge_tile: int = 256, row_block: int = 128) -> ShardedCSR:
-    """Host-side partition of a SparseTensor into row blocks (numpy),
-    including per-shard ESC plans for the Pallas local kernel."""
+              edge_tile: int = 256, row_block: int = 128,
+              balance: str = "rows") -> ShardedCSR:
+    """Host-side partition of a SparseTensor into contiguous row ranges
+    (numpy), including per-shard ESC plans for the Pallas local kernel.
+
+    balance="rows": equal row counts per shard (node-balanced — matches a
+    uniformly sharded feature array exactly).
+    balance="edges": boundaries at nnz quantiles (work-balanced — on
+    power-law graphs equal-row blocks can concentrate most edges on one
+    chip, so every shard pads to that straggler; edge balancing makes
+    max_nnz ≈ nnz/D). The output stays padded to the max range length, so
+    node features still shard uniformly.
+    """
     from dgsparse_tpu.core.planner import build_edge_tile_plan
 
     rowptr = np.asarray(jax.device_get(sp.storage.rowptr()))
     col = np.asarray(jax.device_get(sp.storage.col()))
     vals = np.asarray(jax.device_get(sp.values_or_ones()))
     m, n = sp.sparse_sizes()
-    rps = -(-m // num_shards)
+    total_nnz = int(rowptr[-1])
+    if balance == "edges" and total_nnz > 0:
+        targets = (np.arange(1, num_shards) * total_nnz) // num_shards
+        cuts = np.searchsorted(rowptr, targets, side="left")
+        bounds = np.concatenate([[0], cuts, [m]]).astype(np.int64)
+        bounds = np.maximum.accumulate(bounds)  # monotone row ranges
+        rps = int(np.diff(bounds).max())
+    else:
+        rps = -(-m // num_shards)
+        bounds = np.minimum(np.arange(num_shards + 1) * rps, m)
+
+    def rng_of(d):
+        return int(bounds[d]), int(bounds[d + 1])
+
+    if balance == "edges":
+        if m != n:
+            raise ValueError("balance='edges' requires a square graph "
+                             "(node features shard by the same bounds)")
+        # Variable row ranges break the identity between global node id and
+        # its position in the gathered feature block; remap every column to
+        # its BLOCK-LAYOUT position d*rps + (c - bounds[d]) at plan time so
+        # the device step stays a plain gather.
+        colmap = np.empty(n, np.int64)
+        for d in range(num_shards):
+            lo, hi = rng_of(d)
+            colmap[lo:hi] = d * rps + (np.arange(lo, hi) - lo)
+        col = colmap[col].astype(np.int32)
+        n_gather = num_shards * rps
+    else:
+        n_gather = n
 
     nnz_per = []
     for d in range(num_shards):
-        lo, hi = min(d * rps, m), min((d + 1) * rps, m)
+        lo, hi = rng_of(d)
         nnz_per.append(int(rowptr[hi] - rowptr[lo]))
     max_nnz = max(max(nnz_per), 1)
 
@@ -93,7 +164,7 @@ def shard_csr(sp: SparseTensor, num_shards: int,
     lrow_l = np.zeros((num_shards, max_nnz), np.int32)
     plans = []
     for d in range(num_shards):
-        lo, hi = min(d * rps, m), min((d + 1) * rps, m)
+        lo, hi = rng_of(d)
         e0, e1 = int(rowptr[lo]), int(rowptr[hi])
         k = e1 - e0
         rp_local = rowptr[lo:hi + 1] - e0
@@ -109,7 +180,8 @@ def shard_csr(sp: SparseTensor, num_shards: int,
                                          np.int32)]) \
             if hi - lo < rps else rp_local
         plans.append(build_edge_tile_plan(
-            rp_pad.astype(np.int32), col[e0:e1], n, edge_tile, row_block))
+            rp_pad.astype(np.int32), col[e0:e1], n_gather, edge_tile,
+            row_block))
 
     # Pad every shard's plan to the max tile count; padding tiles attach to
     # the last row block with zero values (pure accumulate of zeros).
@@ -124,8 +196,7 @@ def shard_csr(sp: SparseTensor, num_shards: int,
         p_cols[d, :k] = np.asarray(p.cols)
         ep = np.asarray(p.eperm)
         lv = np.zeros(k, vals.dtype)
-        lo = min(d * rps, m)
-        e0 = int(rowptr[lo])
+        e0 = int(rowptr[rng_of(d)[0]])
         real = ep >= 0
         lv[real] = vals[e0 + ep[real]]
         p_vals[d, :k] = lv
@@ -139,7 +210,8 @@ def shard_csr(sp: SparseTensor, num_shards: int,
         p_lrow=jnp.asarray(p_lrow.reshape(num_shards, t_max, 1, edge_tile)),
         p_tile_rb=jnp.asarray(p_trb),
         num_shards=num_shards, rows_per_shard=rps, num_rows=m, num_cols=n,
-        num_tiles=t_max, edge_tile=edge_tile, row_block=row_block)
+        num_tiles=t_max, edge_tile=edge_tile, row_block=row_block,
+        row_starts=tuple(int(b) for b in bounds[:-1]))
 
 
 def spmm_sharded(
