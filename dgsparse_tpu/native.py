@@ -57,6 +57,13 @@ def load() -> Optional[ctypes.CDLL]:
                                          ctypes.c_int32, _I32P, _I32P,
                                          _I64P]
         lib.dg_rulebook_subm.restype = ctypes.c_int64
+        lib.dg_rulebook_strided.argtypes = [
+            _I32P, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _I32P, _I32P, _I32P, _I32P, _I64P]
+        lib.dg_rulebook_strided.restype = ctypes.c_int64
         lib.dg_version.restype = ctypes.c_int32
         _LIB = lib
     except Exception:
@@ -122,3 +129,26 @@ def rulebook_subm(coords: np.ndarray, ks: Tuple[int, int, int],
     imaps = [imap[kp * n: kp * n + knnz[kp]].copy() for kp in range(k_vol)]
     omaps = [omap[kp * n: kp * n + knnz[kp]].copy() for kp in range(k_vol)]
     return imaps, omaps, [int(x) for x in knnz]
+
+
+def rulebook_strided(coords: np.ndarray, ks, st, pad, spatial):
+    """Native strided rulebook; returns (out_coords, imaps, omaps, knnz)
+    or None."""
+    lib = load()
+    if lib is None:
+        return None
+    coords = np.ascontiguousarray(coords, np.int32)
+    n = len(coords)
+    k_vol = ks[0] * ks[1] * ks[2]
+    out_coords = np.empty((n * k_vol, 4), np.int32)
+    imap = np.empty(k_vol * n, np.int32)
+    omap = np.empty(k_vol * n, np.int32)
+    knnz = np.zeros(k_vol, np.int64)
+    num_out = lib.dg_rulebook_strided(
+        coords, n, ks[0], ks[1], ks[2], st[0], st[1], st[2],
+        pad[0], pad[1], pad[2], np.ascontiguousarray(spatial, np.int32),
+        out_coords, imap, omap, knnz)
+    imaps = [imap[kp * n: kp * n + knnz[kp]].copy() for kp in range(k_vol)]
+    omaps = [omap[kp * n: kp * n + knnz[kp]].copy() for kp in range(k_vol)]
+    return (out_coords[:num_out].copy(), imaps, omaps,
+            [int(x) for x in knnz])

@@ -153,7 +153,24 @@ def build_rulebook(
 
     if submanifold:
         out_coords = coords.copy()
+    elif nnz >= 2048:
+        # Native C++ single-pass path (hash dedupe of output coords + pair
+        # probes) — ~10x over the numpy expand/unique/searchsorted pipeline,
+        # which matters for streaming point clouds where the rulebook is on
+        # the per-frame critical path.
+        from dgsparse_tpu import native
+
+        nat = native.rulebook_strided(coords.astype(np.int32), ks, st, pad,
+                                      tuple(spatial_shape))
+        if nat is not None:
+            out_coords_n, imaps, omaps, knnz = nat
+            return _finalize_plan(imaps, omaps, knnz, k_vol,
+                                  len(out_coords_n), nnz, False, quant), \
+                out_coords_n
+        out_coords = None
     else:
+        out_coords = None
+    if out_coords is None:
         # Output coords: positions where the strided window anchored at
         # out*stride - padding covers at least one input voxel
         # (reference: the generic-stride expand + sort + unique path,
@@ -172,9 +189,14 @@ def build_rulebook(
                 [coords[ok_mask][in_range][:, :1], o[in_range]], 1)
             cand.append(c)
         cand = np.concatenate(cand, 0)
-        keys = _encode(cand, dims)
+        # NOTE dims here must bound the OUT coordinate space for the key
+        # order to be (b, x, y, z)-lexicographic — use out dims.
+        out_sp = [(spatial_shape[i] + 2 * pad[i] - ks[i]) // st[i] + 1
+                  for i in range(3)]
+        odims = np.array([s + 2 for s in out_sp], np.int64)
+        keys = _encode(cand, odims)
         _, first = np.unique(keys, return_index=True)
-        out_coords = cand[np.sort(first)]
+        out_coords = cand[first]  # unique keys are sorted -> (b,x,y,z) order
 
     num_out = len(out_coords)
 

@@ -209,6 +209,93 @@ int64_t dg_rulebook_subm(const int32_t* coords, int64_t n, int32_t k0,
   return total;
 }
 
+// Strided rulebook (downsampling conv). Generates the unique output coords
+// (the reference's expand + sort + unique, src/cuda/sparse_mapping.cu:94-129)
+// and per-offset (input, output) pairs in one pass over a voxel hash.
+// Buffers: out_coords [n*k_vol*4] worst case; imap/omap blocks of n per
+// offset (for a fixed offset each input voxel yields at most one pair).
+// Returns the number of unique output coords.
+int64_t dg_rulebook_strided(const int32_t* coords, int64_t n, int32_t k0,
+                            int32_t k1, int32_t k2, int32_t s0, int32_t s1,
+                            int32_t s2, int32_t p0, int32_t p1, int32_t p2,
+                            const int32_t* spatial, int32_t* out_coords,
+                            int32_t* imap, int32_t* omap, int64_t* knnz) {
+  int64_t dims[3] = {spatial[0] + k0 + 2, spatial[1] + k1 + 2,
+                     spatial[2] + k2 + 2};
+  int32_t out_sp[3] = {(spatial[0] + 2 * p0 - k0) / s0 + 1,
+                       (spatial[1] + 2 * p1 - k1) / s1 + 1,
+                       (spatial[2] + 2 * p2 - k2) / s2 + 1};
+  int64_t odims[3] = {out_sp[0] + 2, out_sp[1] + 2, out_sp[2] + 2};
+
+  VoxelHash in_table(n);
+  for (int64_t i = 0; i < n; ++i)
+    in_table.insert(pack(coords[i * 4], coords[i * 4 + 1],
+                         coords[i * 4 + 2], coords[i * 4 + 3], dims),
+                    (int32_t)i);
+
+  int32_t k_vol = k0 * k1 * k2;
+  // unique output coords via a dedupe hash (worst case n * k_vol entries)
+  VoxelHash out_table(n * k_vol);
+  std::vector<std::pair<int64_t, int64_t>> uniq;  // (key, idx into ocand)
+  std::vector<int32_t> ocand;                     // 4 ints per unique coord
+  uniq.reserve(n * 2);
+  ocand.reserve(n * 8);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t b = coords[i * 4];
+    int32_t xyz[3] = {coords[i * 4 + 1], coords[i * 4 + 2],
+                      coords[i * 4 + 3]};
+    for (int32_t dx = 0; dx < k0; ++dx)
+      for (int32_t dy = 0; dy < k1; ++dy)
+        for (int32_t dz = 0; dz < k2; ++dz) {
+          int32_t v0 = xyz[0] + p0 - dx, v1 = xyz[1] + p1 - dy,
+                  v2 = xyz[2] + p2 - dz;
+          if (v0 < 0 || v1 < 0 || v2 < 0) continue;
+          if (v0 % s0 || v1 % s1 || v2 % s2) continue;
+          int32_t o0 = v0 / s0, o1 = v1 / s1, o2 = v2 / s2;
+          if (o0 >= out_sp[0] || o1 >= out_sp[1] || o2 >= out_sp[2])
+            continue;
+          int64_t key = pack(b, o0, o1, o2, odims);
+          if (out_table.find(key) < 0) {
+            out_table.insert(key, 1);
+            uniq.emplace_back(key, (int64_t)(ocand.size() / 4));
+            ocand.push_back(b);
+            ocand.push_back(o0);
+            ocand.push_back(o1);
+            ocand.push_back(o2);
+          }
+        }
+  }
+  std::sort(uniq.begin(), uniq.end());
+  int64_t num_out = (int64_t)uniq.size();
+  for (int64_t o = 0; o < num_out; ++o) {
+    int64_t src = uniq[o].second * 4;
+    for (int i = 0; i < 4; ++i) out_coords[o * 4 + i] = ocand[src + i];
+  }
+
+  for (int32_t kp = 0; kp < k_vol; ++kp) {
+    int32_t dz = kp % k2, dy = (kp / k2) % k1, dx = kp / (k1 * k2);
+    int32_t* im = imap + (int64_t)kp * n;
+    int32_t* om = omap + (int64_t)kp * n;
+    int64_t cnt = 0;
+    for (int64_t o = 0; o < num_out; ++o) {
+      int32_t i0 = out_coords[o * 4 + 1] * s0 - p0 + dx;
+      int32_t i1 = out_coords[o * 4 + 2] * s1 - p1 + dy;
+      int32_t i2 = out_coords[o * 4 + 3] * s2 - p2 + dz;
+      if (i0 < 0 || i1 < 0 || i2 < 0 || i0 >= spatial[0] ||
+          i1 >= spatial[1] || i2 >= spatial[2])
+        continue;
+      int32_t v = in_table.find(pack(out_coords[o * 4], i0, i1, i2, dims));
+      if (v >= 0) {
+        im[cnt] = v;
+        om[cnt] = (int32_t)o;
+        ++cnt;
+      }
+    }
+    knnz[kp] = cnt;
+  }
+  return num_out;
+}
+
 int32_t dg_version() { return 10; }
 
 }  // extern "C"

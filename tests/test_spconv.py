@@ -158,3 +158,40 @@ def test_sparse_conv_tensor_caches_plans():
     st2 = st.replace(features=feats * 2)
     p3, _ = st2.plan_for(3, 1, 1)
     assert p3 is p1
+
+
+def test_native_strided_rulebook_matches_numpy():
+    """Native C++ strided rulebook == numpy expand/unique/searchsorted path
+    (coords order, pair counts, and conv output)."""
+    from dgsparse_tpu import native
+    from dgsparse_tpu.ops import spconv as S
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    n, shape = 6000, (60, 60, 20)
+    coords = np.unique(np.stack([
+        rng.integers(0, 2, n).astype(np.int32),
+        rng.integers(0, shape[0], n), rng.integers(0, shape[1], n),
+        rng.integers(0, shape[2], n)], 1), axis=0).astype(np.int32)
+    assert len(coords) >= 2048  # native gate
+
+    orig = native.rulebook_strided
+    for ks, st, pd in ((3, 2, 1), (2, 2, 0), (5, 3, 2)):
+        plan_n, oc_n = S.build_rulebook(coords, ks, st, pd,
+                                        spatial_shape=shape)
+        native.rulebook_strided = lambda *a, **k: None
+        try:
+            plan_p, oc_p = S.build_rulebook(coords, ks, st, pd,
+                                            spatial_shape=shape)
+        finally:
+            native.rulebook_strided = orig
+        np.testing.assert_array_equal(oc_n, oc_p)
+        assert list(plan_n.knnz) == list(plan_p.knnz)
+        f = jnp.asarray(rng.standard_normal((len(coords), 4)).astype(
+            np.float32))
+        w = jnp.asarray(rng.standard_normal(
+            (ks ** 3, 4, 8)).astype(np.float32) * 0.1)
+        np.testing.assert_allclose(
+            np.asarray(S.spconv(f, w, plan_n)),
+            np.asarray(S.spconv(f, w, plan_p)), rtol=1e-5, atol=1e-5)
