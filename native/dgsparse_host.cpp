@@ -127,6 +127,7 @@ struct VoxelHash {
   std::vector<int64_t> keys;
   std::vector<int32_t> vals;
   int64_t mask;
+  int64_t count = 0;
 
   explicit VoxelHash(int64_t n) {
     int64_t cap = 4;
@@ -134,6 +135,23 @@ struct VoxelHash {
     keys.assign(cap, -1);
     vals.assign(cap, -1);
     mask = cap - 1;
+  }
+  void grow() {
+    std::vector<int64_t> ok;
+    std::vector<int32_t> ov;
+    ok.swap(keys);
+    ov.swap(vals);
+    int64_t cap = (mask + 1) << 1;
+    keys.assign(cap, -1);
+    vals.assign(cap, -1);
+    mask = cap - 1;
+    for (size_t i = 0; i < ok.size(); ++i)
+      if (ok[i] != -1) {
+        uint64_t h = mix((uint64_t)ok[i]) & mask;
+        while (keys[h] != -1) h = (h + 1) & mask;
+        keys[h] = ok[i];
+        vals[h] = ov[i];
+      }
   }
   static uint64_t mix(uint64_t k) {
     k ^= k >> 33;
@@ -146,6 +164,12 @@ struct VoxelHash {
   void insert(int64_t key, int32_t val) {
     uint64_t h = mix((uint64_t)key) & mask;
     while (keys[h] != -1 && keys[h] != key) h = (h + 1) & mask;
+    if (keys[h] == -1 && ++count * 3 > (mask + 1) * 2) {
+      keys[h] = key;
+      vals[h] = val;
+      grow();
+      return;
+    }
     keys[h] = key;
     vals[h] = val;
   }
@@ -235,7 +259,7 @@ int64_t dg_rulebook_strided(const int32_t* coords, int64_t n, int32_t k0,
 
   int32_t k_vol = k0 * k1 * k2;
   // unique output coords via a dedupe hash (worst case n * k_vol entries)
-  VoxelHash out_table(n * k_vol);
+  VoxelHash out_table(n);  // grows on demand
   std::vector<std::pair<int64_t, int64_t>> uniq;  // (key, idx into ocand)
   std::vector<int32_t> ocand;                     // 4 ints per unique coord
   uniq.reserve(n * 2);
