@@ -1,3 +1,8 @@
+from dgsparse_tpu.dist.spconv import (  # noqa: F401
+    ShardedSpConv,
+    shard_pointcloud,
+    spconv_sharded,
+)
 from dgsparse_tpu.dist.shard import (
     spmm_feature_sharded,
     ShardedCSR,
@@ -8,4 +13,5 @@ from dgsparse_tpu.dist.shard import (
 )
 
 __all__ = ["ShardedCSR", "shard_csr", "spmm_sharded",
+           "ShardedSpConv", "shard_pointcloud", "spconv_sharded",
            "spmm_sharded_2d", "spmm_feature_sharded", "pad_nodes"]

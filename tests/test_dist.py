@@ -310,3 +310,73 @@ def test_edge_balance_rejects_rectangular():
                                jnp.asarray(values), sparse_sizes=(60, 50))
     with pytest.raises(ValueError):
         shard_csr(sp, 4, balance="edges")
+
+
+def test_sharded_spconv_matches_single_device():
+    """Spatially sharded submanifold conv (halo exchange via ppermute) ==
+    single-device ops.spconv on the same cloud."""
+    from dgsparse_tpu.dist.spconv import shard_pointcloud, spconv_sharded
+    from dgsparse_tpu.ops import spconv as S
+
+    rng = np.random.default_rng(70)
+    n, shape = 3000, (40, 24, 16)
+    coords = np.unique(np.stack([
+        rng.integers(0, 2, n).astype(np.int32),
+        rng.integers(0, shape[0], n), rng.integers(0, shape[1], n),
+        rng.integers(0, shape[2], n)], 1), axis=0).astype(np.int32)
+    c_in, c_out = 6, 10
+    feats = rng.standard_normal((len(coords), c_in)).astype(np.float32)
+    kernel = rng.standard_normal((27, c_in, c_out)).astype(np.float32) * 0.2
+
+    ref_plan, _ = S.build_rulebook(coords, 3, 1, 1, spatial_shape=shape)
+    ref = np.asarray(S.spconv(jnp.asarray(feats), jnp.asarray(kernel),
+                              ref_plan))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    plan, order = shard_pointcloud(coords, 4, 3, spatial_shape=shape)
+    xb = plan.to_block_layout(jnp.asarray(feats[order]))
+    xd = jax.device_put(xb, NamedSharding(mesh, P("graph")))
+    out = spconv_sharded(plan, xd, jnp.asarray(kernel), mesh)
+    got = np.asarray(plan.from_block_layout(out))
+    # undo the slab sort
+    inv = np.empty(len(order), np.int64)
+    inv[order] = np.arange(len(order))
+    np.testing.assert_allclose(got[inv], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_spconv_grads():
+    from dgsparse_tpu.dist.spconv import shard_pointcloud, spconv_sharded
+    from dgsparse_tpu.ops import spconv as S
+
+    rng = np.random.default_rng(71)
+    n, shape = 1200, (24, 16, 12)
+    coords = np.unique(np.stack([
+        np.zeros(n, np.int32),
+        rng.integers(0, shape[0], n), rng.integers(0, shape[1], n),
+        rng.integers(0, shape[2], n)], 1), axis=0).astype(np.int32)
+    feats = rng.standard_normal((len(coords), 4)).astype(np.float32)
+    kernel = rng.standard_normal((27, 4, 6)).astype(np.float32) * 0.2
+    ref_plan, _ = S.build_rulebook(coords, 3, 1, 1, spatial_shape=shape)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    plan, order = shard_pointcloud(coords, 4, 3, spatial_shape=shape)
+    inv = np.empty(len(order), np.int64)
+    inv[order] = np.arange(len(order))
+    ct = rng.standard_normal((len(coords), 6)).astype(np.float32)
+
+    def loss_sharded(f, w):
+        xb = plan.to_block_layout(f[order])
+        out = plan.from_block_layout(spconv_sharded(plan, xb, w, mesh))
+        return jnp.vdot(out[inv], jnp.asarray(ct))
+
+    def loss_single(f, w):
+        return jnp.vdot(S.spconv(f, w, ref_plan), jnp.asarray(ct))
+
+    gf_s, gw_s = jax.grad(loss_sharded, argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(kernel))
+    gf_r, gw_r = jax.grad(loss_single, argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(kernel))
+    np.testing.assert_allclose(np.asarray(gf_s), np.asarray(gf_r),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_r),
+                               rtol=1e-3, atol=1e-3)
