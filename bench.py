@@ -84,7 +84,9 @@ def child(algorithm_name: str, out_path: str) -> None:
     def timed(s):
         def body(i, s):
             out = spmm(sp, b * s, "sum", alg)
-            return 1.0 + 0.0 * out[0, 0]
+            # full-output consumption: immune to XLA slice/DCE of the op
+            # under measurement (costs ~10 us of reduce on this size)
+            return 1.0 + 0.0 * jnp.sum(out)
 
         return jax.lax.fori_loop(0, iters, body, s)
 

@@ -40,7 +40,11 @@ def time_on_device(op: Callable, *args, iters: int = 50) -> float:
     def run(s):
         def body(i, s):
             out = op(s, *args)
-            return 1.0 + 0.0 * jnp.ravel(out)[0]
+            # consume the FULL output: feeding back a single element lets
+            # XLA slice/DCE the computation under measurement (observed:
+            # a gradient chain consuming gv[0] measured 0.05 ms for real
+            # ~24 ms of work). The added reduction is noise by comparison.
+            return 1.0 + 0.0 * jnp.sum(out)
 
         return jax.lax.fori_loop(0, iters, body, s)
 

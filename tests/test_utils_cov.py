@@ -60,3 +60,18 @@ def test_pad_nodes():
     assert pad_nodes(x, 4).shape == (12, 4)
     assert pad_nodes(x, 5).shape == (10, 4)
     assert float(pad_nodes(x, 4)[10:].sum()) == 0
+
+
+def test_tune_spmm():
+    from dgsparse_tpu import SparseTensor
+    from dgsparse_tpu.utils.testing import random_csr
+    from dgsparse_tpu.utils.tune import tune_report, tune_spmm
+
+    rowptr, col, vals = random_csr(900, 800, avg_degree=6, seed=1)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(900, 800))
+    best, times = tune_spmm(sp, 8, "sum", iters=2)
+    assert best in times and len(times) >= 2
+    assert all(t > 0 for t in times.values())
+    rep = tune_report(sp, feats=(8,), reduce="sum")
+    assert "best=" in rep
