@@ -106,15 +106,32 @@ def shard_pointcloud(coords: np.ndarray, num_shards: int, kernel_size=3,
     sorted_c = coords[order]
     bounds = [0]
     for d in range(1, num_shards):
-        t = (d * n) // num_shards
+        t = max((d * n) // num_shards, bounds[-1])
         # don't split inside one x-plane: halo logic assumes slab ranges
         while t < n and t > bounds[-1] and \
                 sorted_c[t, 1] == sorted_c[t - 1, 1]:
             t += 1
-        bounds.append(min(t, n))
+        # monotone accumulate (as shard_csr does): the plane walk can push
+        # a boundary past the next shard's quantile target
+        bounds.append(max(min(t, n), bounds[-1]))
     bounds.append(n)
     counts = [bounds[d + 1] - bounds[d] for d in range(num_shards)]
     own_max = max(max(counts), 1)
+
+    # Halo exchange is strictly nearest-neighbor: every INTERIOR slab must
+    # span >= r x-planes, or voxels two shards away would be needed and
+    # silently dropped. (Edge slabs are exempt: nothing exists beyond them,
+    # so their full extent is already covered by the one-hop halo.)
+    if r > 0:
+        for d in range(1, num_shards - 1):
+            lo, hi = bounds[d], bounds[d + 1]
+            span = (int(sorted_c[hi - 1, 1]) - int(sorted_c[lo, 1]) + 1
+                    if hi > lo else 0)
+            if span < r:
+                raise ValueError(
+                    f"shard {d} spans {span} x-plane(s) < kernel radius "
+                    f"{r}: nearest-neighbor halo exchange would drop "
+                    f"contributions. Use fewer shards or a smaller kernel.")
 
     # halos: voxels within r planes of the slab boundary
     halos_l, halos_r = [], []   # local row ids (within shard) to SEND

@@ -33,12 +33,19 @@ def load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     so = os.path.join(_native_dir(), "libdgsparse_host.so")
-    if not os.path.exists(so):
+    src = os.path.join(_native_dir(), "dgsparse_host.cpp")
+    # Rebuild when missing OR stale (source newer than the binary) so an
+    # old artifact can never silently shadow the checked-in C++ source.
+    stale = (not os.path.exists(so)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(so)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", _native_dir()], check=True,
+            subprocess.run(["make", "-B", "-C", _native_dir()], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
         lib.dg_csr2csc.argtypes = [_I32P, _I32P, ctypes.c_int32,

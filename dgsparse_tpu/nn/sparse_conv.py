@@ -73,12 +73,18 @@ class SparseConv3d(nn.Module):
                        self.param_dtype)
         f, w, b = _cast(st.features, w, b, self.compute_dtype)
         out = spconv(f, w, plan) + b
-        st_strides = tuple(
-            -(-s // k) for s, k in zip(
-                st.spatial_shape,
-                (self.stride,) * 3 if isinstance(self.stride, int)
-                else self.stride))
-        new = SparseConvTensor(out, out_coords, st_strides)
+        # true conv output extent (s + 2p - k)//stride + 1 — ceil division
+        # undercounts when padding > kernel//2, masking valid sites in later
+        # rulebooks
+        from dgsparse_tpu.ops.spconv import _triple
+
+        ks = _triple(self.kernel_size)
+        srd = _triple(self.stride)
+        pad = _triple(self.padding)
+        new_shape = tuple(
+            max((s + 2 * p - k) // v + 1, 1)
+            for s, k, v, p in zip(st.spatial_shape, ks, srd, pad))
+        new = SparseConvTensor(out, out_coords, new_shape)
         return new
 
 

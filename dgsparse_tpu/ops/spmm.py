@@ -81,6 +81,11 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                     spmm_ell_maxmin
 
                 return spmm_ell_maxmin(ell_fwd, vals, dense, reduce)
+            if plan_fwd.padded_edges >= 2 ** 24:
+                # the ESC max/min kernel carries global slot ids in f32,
+                # exact only below 2^24 — fall back to XLA beyond that
+                return kx.spmm_forward(coo_row, col, vals, dense, num_rows,
+                                       reduce, degrees)
             from dgsparse_tpu.kernels.pallas_spmm_maxmin import \
                 spmm_maxmin_esc
 
@@ -186,12 +191,15 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
         # fully static, so recomputing it reproduces the forward's choice.
         alg_mm = _resolve_algorithm(algorithm, plan_fwd, bell_fwd, nnz,
                                     reduce, ell_fwd)
-        used_pallas = (alg_mm in (Algorithm.PALLAS_ROW_TILE,
-                                  Algorithm.PALLAS_EDGE_TILE,
-                                  Algorithm.PALLAS_BELL)
-                       and g.shape[-1] <= 2048 and plan_fwd is not None)
-        used_ell = (used_pallas and alg_mm == Algorithm.PALLAS_ROW_TILE
+        any_pallas = (alg_mm in (Algorithm.PALLAS_ROW_TILE,
+                                 Algorithm.PALLAS_EDGE_TILE,
+                                 Algorithm.PALLAS_BELL)
+                      and g.shape[-1] <= 2048 and plan_fwd is not None)
+        used_ell = (any_pallas and alg_mm == Algorithm.PALLAS_ROW_TILE
                     and ell_fwd is not None)
+        # mirror the forward's f32-slot-id guard on the ESC max/min kernel
+        used_pallas = any_pallas and (
+            used_ell or plan_fwd.padded_edges < 2 ** 24)
         g32 = g.astype(jnp.float32)
         if used_ell:
             # ELL forward → `arg_edge` is the winning K-SLOT per element, in

@@ -380,3 +380,25 @@ def test_sharded_spconv_grads():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gw_s), np.asarray(gw_r),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_spconv_rejects_thin_slabs():
+    """ADVICE round-1 (medium): nearest-neighbor halo exchange silently
+    dropped contributions when an interior slab spanned fewer x-planes
+    than the kernel radius (kernel 7 => r=3, 4 shards over 8 planes).
+    The planner must refuse instead."""
+    import pytest
+
+    from dgsparse_tpu.dist.spconv import shard_pointcloud
+
+    rng = np.random.default_rng(71)
+    shape = (8, 12, 12)
+    n = 2000
+    coords = np.unique(np.stack([
+        np.zeros(n, np.int64),
+        rng.integers(0, shape[0], n), rng.integers(0, shape[1], n),
+        rng.integers(0, shape[2], n)], 1), axis=0).astype(np.int32)
+    with pytest.raises(ValueError, match="x-plane"):
+        shard_pointcloud(coords, 4, 7, spatial_shape=shape)
+    # kernel 3 (r=1) over the same slabs is fine
+    shard_pointcloud(coords, 4, 3, spatial_shape=shape)
