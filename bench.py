@@ -74,26 +74,14 @@ def child(algorithm_name: str, out_path: str) -> None:
     np.testing.assert_allclose(out[:2048], ref[:2048], rtol=1e-3, atol=1e-3)
     log(f"[{algorithm_name}] correctness OK on {backend}")
 
-    # Time with an ON-DEVICE loop (lax.fori_loop chained by a scalar
-    # dependency) so per-call host dispatch doesn't pollute the kernel
-    # time — the moral equivalent of the reference's on-GPU event timing
-    # (example/util/sp_util.hpp:141-169).
-    iters = 100
+    # TWO-POINT on-device timing (lax.fori_loop at two iteration counts,
+    # difference cancels the tunnel's fixed per-dispatch latency — measured
+    # 1.3..29 ms depending on session; a single-count loop at N=100 would
+    # overstate kernel time by up to +290 us/iter).
+    from dgsparse_tpu.utils.bench import time_on_device_2pt
 
-    @jax.jit
-    def timed(s):
-        def body(i, s):
-            out = spmm(sp, b * s, "sum", alg)
-            # full-output consumption: immune to XLA slice/DCE of the op
-            # under measurement (costs ~10 us of reduce on this size)
-            return 1.0 + 0.0 * jnp.sum(out)
-
-        return jax.lax.fori_loop(0, iters, body, s)
-
-    jax.block_until_ready(timed(jnp.float32(1.0)))  # warmup/compile
-    t0 = time.perf_counter()
-    jax.block_until_ready(timed(jnp.float32(1.0)))
-    dt = (time.perf_counter() - t0) / iters
+    dt = time_on_device_2pt(lambda s: spmm(sp, b * s, "sum", alg),
+                            iters=(50, 250), repeats=3)
     gflops = 2.0 * nnz * FEAT / dt / 1e9
     log(f"[{algorithm_name}] {dt * 1e6:.1f} us, {gflops:.2f} GFLOP/s")
     with open(out_path, "w") as f:
@@ -104,10 +92,12 @@ def child(algorithm_name: str, out_path: str) -> None:
 def main():
     results = []
     with tempfile.TemporaryDirectory() as td:
-        # Two children keep the worst case bounded (~18 min): the row-tile
-        # Pallas path (fastest measured) and the XLA fallback as the safety
-        # net if the Pallas child fails or the device misbehaves.
+        # Children keep the worst case bounded: the row-tile Pallas path
+        # (fastest measured), the ESC edge-tile path, and the XLA fallback
+        # as the safety net if a Pallas child fails or the device
+        # misbehaves.
         for alg, timeout in (("PALLAS_ROW_TILE", 700),
+                             ("PALLAS_EDGE_TILE", 500),
                              ("XLA_SEGMENT", 400)):
             out_path = os.path.join(td, f"{alg}.json")
             try:

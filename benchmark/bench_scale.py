@@ -1,0 +1,226 @@
+"""North-star scale benchmarks (BASELINE.json): SpMM GFLOP/s and HBM
+roofline fraction at ogbn-arxiv scale and Reddit scale, F=64/128.
+
+Run on the TPU:  python benchmark/bench_scale.py [--quick]
+
+Graphs are synthetic but shape-matched to the published datasets:
+- arxiv-scale: 169,343 nodes, ~1.17M edges, power-law degrees
+  (ogbn-arxiv: 169343 nodes / 1,166,243 edges).
+- reddit-scale: 232,965 nodes, ~114.6M edges, avg degree ~492
+  (Reddit: 232965 / 114,615,892). Two variants:
+    * `reddit-random`: uniform random columns — the worst case for any
+      2-D tiling; runs the lean row-chunked XLA path (build_plans=False;
+      a [115M, 64] f32 contribution tensor is 29 GB and cannot
+      materialize on a 16 GB chip).
+    * `reddit-clustered`: 80% of edges inside ~194-node communities
+      (Reddit's defining structure) — the BELL 2-D one-hot kernel's
+      target; cells fill and the kernel goes MXU-bound.
+
+All timing is two-point on-device (utils.bench.time_on_device_2pt): the
+tunnel adds a session-dependent FIXED latency per dispatch (1.3..29 ms
+measured) that a single-count loop folds into every number.
+
+Roofline accounting is the MINIMAL algorithmic traffic
+(nnz + M + N) * F * 4 bytes — i.e. read every neighbor row once, write the
+output once, read B once — divided by measured time and the 819 GB/s v5e
+HBM peak. Anything a schedule re-reads (padding, streams) counts AGAINST
+it. The reference's own formula 2*nnz*F/t gives GFLOP/s
+(example/ge-spmm/spmm.cu:162-164).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dgsparse_tpu.utils.cache import enable
+
+enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+HBM_GBPS = 819.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def power_law_graph(m, n, nnz_target, seed=0, alpha=1.2):
+    """Power-law out-degrees, uniform columns (arxiv-like)."""
+    rng = np.random.default_rng(seed)
+    w = (1.0 + np.arange(m)) ** -alpha
+    rng.shuffle(w)
+    deg = rng.poisson(w / w.sum() * nnz_target)
+    col = rng.integers(0, n, int(deg.sum()), dtype=np.int32)
+    rowptr = np.zeros(m + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    # sort columns within rows for realism (CSR convention)
+    for _ in range(1):
+        order = np.argsort(np.repeat(np.arange(m), deg) * (n + 1) + col,
+                           kind="stable")
+        col = col[order]
+    return rowptr.astype(np.int32), col
+
+
+def clustered_graph(m, n, avg_deg, seed=0, intra=0.8, comm=194):
+    """Community-clustered graph (Reddit-like): intra fraction of edges
+    land inside the node's ~comm-sized community."""
+    rng = np.random.default_rng(seed)
+    deg = np.maximum(rng.poisson(avg_deg, m), 1).astype(np.int64)
+    nnz = int(deg.sum())
+    row = np.repeat(np.arange(m, dtype=np.int64), deg)
+    c0 = (row // comm) * comm
+    width = np.minimum(comm, n - c0)
+    is_intra = rng.random(nnz) < intra
+    col = np.where(
+        is_intra,
+        c0 + rng.integers(0, 1 << 30, nnz) % width,
+        rng.integers(0, n, nnz),
+    ).astype(np.int32)
+    order = np.argsort(row * (n + 1) + col, kind="stable")
+    col = col[order]
+    rowptr = np.zeros(m + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    return rowptr.astype(np.int32), col
+
+
+def bench_standard(name, rowptr, col, feat, algs):
+    """SparseTensor-based spmm benchmark (plans built)."""
+    from dgsparse_tpu import Algorithm, SparseTensor, spmm
+    from dgsparse_tpu.utils.bench import time_on_device_2pt
+
+    m, nnz = len(rowptr) - 1, len(col)
+    n = m
+    t0 = time.perf_counter()
+    sp = SparseTensor.from_csr(rowptr, col, None, sparse_sizes=(m, n))
+    log(f"[{name}] construction {time.perf_counter()-t0:.1f}s "
+        f"nnz={nnz}")
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
+    rows = []
+    for alg in algs:
+        try:
+            dt = time_on_device_2pt(
+                lambda s, a=Algorithm[alg]: spmm(sp, b * s, "sum", a),
+                iters=(20, 60), repeats=3)
+            rows.append(_row(name, alg, nnz, m, n, feat, dt))
+        except Exception as ex:
+            log(f"[{name}] {alg} failed: {type(ex).__name__}: {ex}")
+    return rows
+
+
+def bench_reddit_lean(name, rowptr, col, feat, chunks=16):
+    """Row-chunked XLA segment SpMM: peak memory O(nnz/chunks * F)."""
+    from dgsparse_tpu.utils.bench import time_on_device_2pt
+
+    m, nnz = len(rowptr) - 1, len(col)
+    n = m
+    col_j = jnp.asarray(col)
+    coo_row = np.repeat(np.arange(m, dtype=np.int32),
+                        np.diff(rowptr).astype(np.int64))
+    coo_j = jnp.asarray(coo_row)
+    bounds = [int(rowptr[min(i * (m // chunks + 1), m)])
+              for i in range(chunks)] + [nnz]
+    rbounds = [min(i * (m // chunks + 1), m) for i in range(chunks)] + [m]
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
+
+    def fwd(bx):
+        outs = []
+        for i in range(chunks):
+            s, e = bounds[i], bounds[i + 1]
+            r0, r1 = rbounds[i], rbounds[i + 1]
+            if e == s:
+                outs.append(jnp.zeros((r1 - r0, feat), bx.dtype))
+                continue
+            contrib = jnp.take(bx, jax.lax.slice(col_j, (s,), (e,)), axis=0)
+            seg = jax.lax.slice(coo_j, (s,), (e,)) - r0
+            outs.append(jax.ops.segment_sum(
+                contrib, seg, num_segments=r1 - r0,
+                indices_are_sorted=True))
+        return jnp.concatenate(outs, axis=0)
+
+    dt = time_on_device_2pt(lambda s: fwd(b * s), iters=(3, 9), repeats=3)
+    return [_row(name, f"XLA_CHUNKED[{chunks}]", nnz, m, n, feat, dt)]
+
+
+def bench_reddit_bell(name, rowptr, col, feat, edge_tile=128):
+    """Direct BELL kernel benchmark (plan built standalone, lean tensor)."""
+    from dgsparse_tpu.core.planner import build_bell_plan
+    from dgsparse_tpu.kernels.pallas_spmm import spmm_bell
+    from dgsparse_tpu.utils.bench import time_on_device_2pt
+
+    m, nnz = len(rowptr) - 1, len(col)
+    n = m
+    t0 = time.perf_counter()
+    plan = build_bell_plan(rowptr, col, n, edge_tile=edge_tile)
+    log(f"[{name}] BELL plan {time.perf_counter()-t0:.1f}s "
+        f"pad={plan.pad_ratio():.2f} tiles={plan.num_tiles}")
+    if plan.pad_ratio() > 4.0:
+        log(f"[{name}] BELL pad too high; skipping")
+        return []
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
+    rows = []
+    for cd, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        dt = time_on_device_2pt(
+            lambda s, cd=cd: spmm_bell(plan, None, b * s,
+                                       compute_dtype=cd),
+            iters=(3, 9), repeats=3)
+        rows.append(_row(name, f"PALLAS_BELL[{tag},E={edge_tile}]",
+                         nnz, m, n, feat, dt))
+    return rows
+
+
+def _row(name, alg, nnz, m, n, feat, dt):
+    gflops = 2.0 * nnz * feat / dt / 1e9
+    min_bytes = (nnz + m + n) * feat * 4
+    roof = min_bytes / dt / 1e9 / HBM_GBPS
+    r = {"graph": name, "alg": alg, "nnz": nnz, "feat": feat,
+         "us": round(dt * 1e6, 1), "gflops": round(gflops, 2),
+         "roofline_frac": round(roof, 4)}
+    log(f"[{name}] {alg:24s} F={feat:<4d} {dt*1e6:10.1f} us "
+        f"{gflops:8.2f} GF/s  roofline {roof*100:5.1f}%")
+    return r
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="arxiv-scale only")
+    ap.add_argument("--out", default="benchmark/results_scale.json")
+    args = ap.parse_args()
+    results = []
+
+    # --- arxiv scale ---
+    rowptr, col = power_law_graph(169343, 169343, 1166243, seed=3)
+    for feat in (64, 128):
+        results += bench_standard("arxiv-scale", rowptr, col, feat,
+                                  ["PALLAS_ROW_TILE", "PALLAS_EDGE_TILE",
+                                   "XLA_SEGMENT"])
+
+    if not args.quick:
+        # --- reddit scale, clustered (BELL target) ---
+        rowptr, col = clustered_graph(232965, 232965, 492, seed=4)
+        results += bench_reddit_bell("reddit-clustered", rowptr, col, 64)
+        # --- reddit scale, random (lean chunked path) ---
+        rowptr, col = clustered_graph(232965, 232965, 492, seed=5,
+                                      intra=0.0)
+        results += bench_reddit_lean("reddit-random", rowptr, col, 64)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    log(f"wrote {args.out}")
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -189,7 +189,9 @@ class Storage:
                 else:
                     bek = build_bucketed_ell_plan(rowptr_np, col_np,
                                                   num_cols)
-                    if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 24:
+                    # flat plan layout: many buckets are cheap (3 device
+                    # arrays total regardless of bucket count)
+                    if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 48:
                         self._ell_fwd = bek
             # BELL 2D plans only pay off when cells genuinely fill (measured:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.

@@ -205,45 +205,76 @@ def build_ell_plan(rowptr: np.ndarray, col: np.ndarray,
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BucketedEllPlan:
-    """Degree-bucketed ELL: rows grouped by next-pow2(degree) buckets, each
+    """Degree-bucketed ELL: rows grouped by ladder-degree buckets, each
     bucket a rectangular [rows_b, K_b] padded block (bounded padding even on
     power-law graphs), outputs assembled in bucket order and inverse-
     permuted once. Generalizes EllPlan to irregular degree distributions —
-    the row-balance schedule without any segment reduction."""
+    the row-balance schedule without any segment reduction.
 
-    cols: tuple           # per bucket: [rows_b, K_b] int32 jax arrays
-    masks: tuple          # per bucket: [rows_b, K_b] f32 0/1
-    eperms: tuple         # per bucket: [rows_b, K_b] int32 (-1 padding)
-    rows: tuple           # per bucket: [rows_b] int32 original row ids
-    inv_row: jax.Array    # [M] int32: position of original row in the
-                          # bucket-sorted concatenation
+    Device layout is FLAT (3 arrays total, reshaped per bucket by static
+    slices inside jit): under the axon tunnel every unique host->device
+    array shape pays a ~30-50 ms transfer setup, so ~20 buckets x 4 arrays
+    made construction pathological (BENCH_r01: 135 s)."""
+
+    cols: jax.Array       # [sum rb_i*K_i] int32 flat gather ids (0 padding)
+    eperm: jax.Array      # [sum rb_i*K_i] int32 original edge pos (-1 pad);
+                          # the validity mask is derived as eperm >= 0
+    rows: jax.Array       # [sum rb_i] int32 original row ids, bucket order
+    inv_row: jax.Array    # [M] int32: position of original row in
+                          # [bucket-sorted nonempty rows ++ zeros block];
+                          # consumers append a (M - concat_rows) zeros
+                          # block before gathering — a true permutation
     inv: jax.Array        # [nnz] int32 position of edge e in the concat of
                           # the buckets' flattened [rows_b*K_b] slot arrays
     ks: tuple             # static K_b per bucket
+    rbs: tuple            # static rows_b per bucket
     num_rows: int
     num_cols: int
     nnz: int
 
     def tree_flatten(self):
-        return (self.cols, self.masks, self.eperms, self.rows,
-                self.inv_row, self.inv), (
-            self.ks, self.num_rows, self.num_cols, self.nnz)
+        return (self.cols, self.eperm, self.rows, self.inv_row, self.inv), (
+            self.ks, self.rbs, self.num_rows, self.num_cols, self.nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
+    @property
+    def concat_rows(self) -> int:
+        """Rows in the bucket-concatenated output (nonempty rows only)."""
+        return sum(self.rbs)
+
     def pad_ratio(self) -> float:
-        total = sum(c.shape[0] * c.shape[1] for c in self.cols)
+        total = sum(rb * k for rb, k in zip(self.rbs, self.ks))
         return total / max(self.nnz, 1)
 
+    def bucket_views(self):
+        """Static-sliced per-bucket views: list of
+        (cols [rb,K], mask f32 [rb,K], eperm [rb,K], rows [rb], K).
+        Slicing happens inside jit (static offsets — fused, free)."""
+        out = []
+        o2, o1 = 0, 0
+        for rb, k in zip(self.rbs, self.ks):
+            ep = jax.lax.slice(self.eperm, (o2,), (o2 + rb * k,)).reshape(
+                rb, k)
+            c = jax.lax.slice(self.cols, (o2,), (o2 + rb * k,)).reshape(
+                rb, k)
+            r = jax.lax.slice(self.rows, (o1,), (o1 + rb,))
+            out.append((c, (ep >= 0).astype(jnp.float32), ep, r, k))
+            o2 += rb * k
+            o1 += rb
+        return out
 
-# Bucket K ladder: ~1.4x steps keep padding under ~1.35 (pow2 steps allow
-# up to 2x within a bucket).
-_K_LADDER = np.array([1, 2, 3, 4, 6, 8, 11, 16, 22, 32, 45, 64, 91, 128,
-                      181, 256, 362, 512, 724, 1024, 1448, 2048, 2896,
-                      4096, 5793, 8192, 11585, 16384, 23170, 32768,
-                      46341, 65536], np.int64)
+
+# Bucket K ladder: exact K for small degrees, then ~1.19x steps — keeps
+# padding ~1.15 on power-law graphs (the flat plan layout makes many
+# buckets cheap; round 1's 1.41x ladder cost pad 1.43 on p2p).
+_K_LADDER = np.array(
+    list(range(1, 17)) + [20, 24, 29, 34, 41, 49, 58, 69, 83, 99, 118,
+                          141, 168, 200, 256, 362, 512, 724, 1024, 1448,
+                          2048, 2896, 4096, 5793, 8192, 11585, 16384,
+                          23170, 32768, 46341, 65536], np.int64)
 
 
 def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
@@ -253,27 +284,57 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
     m = len(rowptr) - 1
     nnz = len(col)
     deg = np.diff(rowptr).astype(np.int64)
-    # bucket = index of the smallest ladder K >= degree; empty rows bucket 0
-    kb = np.maximum(deg, 1)
-    bucket = np.searchsorted(_K_LADDER, kb, side="left").astype(np.int64)
-    order = np.argsort(bucket, kind="stable")  # rows in bucket order
-    # inv_row[original_row] = its position in the bucket-sorted concat
+    # Empty rows are EXCLUDED from the layout entirely (p2p-Gnutella31 has
+    # 46K degree-0 rows of 62.6K — bucketing them at K=1 was 30% pure
+    # padding). Their outputs are zero; recombination writes only the
+    # nonempty rows (scatter) or gathers a sentinel zero row (inv_row =
+    # concat_rows for empty rows).
+    nonempty = np.nonzero(deg > 0)[0]
+    # bucket = index of the smallest ladder K >= degree
+    kb = deg[nonempty]
+    bucket_ne = np.searchsorted(_K_LADDER, kb, side="left").astype(np.int64)
+    # Merge slot-poor buckets upward: every bucket is a separate jit
+    # subgraph (gather + einsum, and [rb,K,F] winner masks in the max/min
+    # backward), so dozens of tiny buckets cost compile time and gather
+    # dispatch for no padding win. A bucket smaller than ~2K slots joins the
+    # next one up unless that would more than quadruple its slot count.
+    counts = np.bincount(bucket_ne, minlength=len(_K_LADDER))
+    remap = np.arange(len(_K_LADDER), dtype=np.int64)
+    nz = np.nonzero(counts)[0]
+    for pos in range(len(nz) - 1):
+        i, j = nz[pos], nz[pos + 1]
+        if counts[i] * _K_LADDER[i] < 2048 and \
+                counts[i] * _K_LADDER[j] < 8192:
+            remap[i] = j
+            counts[j] += counts[i]
+            counts[i] = 0
+    for i in range(len(_K_LADDER) - 2, -1, -1):
+        remap[i] = remap[remap[i]]
+    bucket_ne = remap[bucket_ne]
+    order = nonempty[np.argsort(bucket_ne, kind="stable")]  # bucket order
+    n_ne = len(order)
+    # inv_row[original_row] = its position in [bucket-sorted concat ++
+    # zeros block]. Empty rows get DISTINCT zeros-block positions so the
+    # recombination gather is a true permutation (gathering one sentinel
+    # row 46K times measured 2x slower than a permutation gather — HBM
+    # row-repeat conflicts).
     inv_row = np.empty(m, np.int32)
-    inv_row[order] = np.arange(m, dtype=np.int32)
+    inv_row[order] = np.arange(n_ne, dtype=np.int32)
+    empty_rows = np.nonzero(deg == 0)[0]
+    inv_row[empty_rows] = n_ne + np.arange(len(empty_rows), dtype=np.int32)
 
-    cols_l, masks_l, eperms_l, rows_l, ks = [], [], [], [], []
+    cols_l, eperms_l, ks, rbs = [], [], [], []
     inv = np.zeros(nnz, np.int32)
     flat_off = 0
-    sorted_bucket = bucket[order]
+    sorted_bucket = np.sort(bucket_ne, kind="stable")
     boundaries = np.nonzero(np.diff(sorted_bucket))[0] + 1
     starts = np.concatenate([[0], boundaries])
-    ends = np.concatenate([boundaries, [m]])
+    ends = np.concatenate([boundaries, [n_ne]])
     for s, t in zip(starts, ends):
         rows = order[s:t]
         k = int(_K_LADDER[int(sorted_bucket[s])])
         rb = len(rows)
         c = np.zeros((rb, k), np.int32)
-        msk = np.zeros((rb, k), np.float32)
         ep = np.full((rb, k), -1, np.int32)
         deg_b = deg[rows]
         e_b = int(deg_b.sum())
@@ -283,19 +344,19 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
             rep_pos = np.arange(e_b, dtype=np.int64) - np.repeat(csum, deg_b)
             src = np.repeat(rowptr[rows].astype(np.int64), deg_b) + rep_pos
             c[rep_row, rep_pos] = col[src]
-            msk[rep_row, rep_pos] = 1.0
             ep[rep_row, rep_pos] = src.astype(np.int32)
             inv[src] = (flat_off + rep_row * k + rep_pos).astype(np.int32)
         flat_off += rb * k
-        cols_l.append(jnp.asarray(c))
-        masks_l.append(jnp.asarray(msk))
-        eperms_l.append(jnp.asarray(ep))
-        rows_l.append(jnp.asarray(rows.astype(np.int32)))
+        cols_l.append(c.reshape(-1))
+        eperms_l.append(ep.reshape(-1))
         ks.append(k)
+        rbs.append(rb)
     return BucketedEllPlan(
-        cols=tuple(cols_l), masks=tuple(masks_l), eperms=tuple(eperms_l),
-        rows=tuple(rows_l), inv_row=jnp.asarray(inv_row),
-        inv=jnp.asarray(inv), ks=tuple(ks), num_rows=m,
+        cols=jnp.asarray(np.concatenate(cols_l)),
+        eperm=jnp.asarray(np.concatenate(eperms_l)),
+        rows=jnp.asarray(order.astype(np.int32)),
+        inv_row=jnp.asarray(inv_row),
+        inv=jnp.asarray(inv), ks=tuple(ks), rbs=tuple(rbs), num_rows=m,
         num_cols=num_cols, nnz=nnz)
 
 
@@ -354,60 +415,79 @@ def build_bell_plan(
     """2D-tile the CSR structure: per row block, edges sorted by column and
     split at column-window boundaries; each (block, window) cell padded to a
     multiple of edge_tile. Empty row blocks get one all-padding tile so
-    their output block still zero-initializes."""
+    their output block still zero-initializes (appended last; the kernel
+    only needs a block's tiles to be consecutive, not globally sorted).
+
+    Fully vectorized numpy (the round-1 per-block Python loop took 2.8 s
+    at 148K edges — unusable at Reddit scale)."""
     rowptr = np.asarray(jax.device_get(rowptr))
     col = np.asarray(jax.device_get(col))
     m = len(rowptr) - 1
     nnz = len(col)
     num_rb = max(-(-m // row_block), 1)
     num_cw = max(-(-num_cols // col_window), 1)
-    coo_row = np.repeat(np.arange(m, dtype=np.int32), np.diff(rowptr))
+    deg = np.diff(rowptr)
+    coo_row = np.repeat(np.arange(m, dtype=np.int64), deg)
 
-    lcol_l, lrow_l, perm_l, trb_l, tcw_l = [], [], [], [], []
-    for rb in range(num_rb):
-        lo = int(rowptr[min(rb * row_block, m)])
-        hi = int(rowptr[min((rb + 1) * row_block, m)])
-        e = hi - lo
-        if e == 0:
-            lcol_l.append(np.zeros(edge_tile, np.int32))
-            lrow_l.append(np.zeros(edge_tile, np.int32))
-            perm_l.append(np.full(edge_tile, -1, np.int32))
-            trb_l.append(np.array([rb], np.int32))
-            tcw_l.append(np.array([0], np.int32))
-            continue
-        seg_cols = col[lo:hi]
-        order = np.argsort(seg_cols, kind="stable")
-        sc = seg_cols[order]
-        sr = coo_row[lo:hi][order] - rb * row_block
-        sp = (lo + order).astype(np.int32)
-        windows = sc // col_window
-        # split indices at window boundaries
-        bounds = np.nonzero(np.diff(windows))[0] + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [e]])
-        for s, t in zip(starts, ends):
-            cnt = t - s
-            n_tiles = -(-cnt // edge_tile)
-            padded = n_tiles * edge_tile
-            lc = np.zeros(padded, np.int32)
-            lr = np.zeros(padded, np.int32)
-            p = np.full(padded, -1, np.int32)
-            lc[:cnt] = sc[s:t] - windows[s] * col_window
-            lr[:cnt] = sr[s:t]
-            p[:cnt] = sp[s:t]
-            lcol_l.append(lc)
-            lrow_l.append(lr)
-            perm_l.append(p)
-            trb_l.append(np.full(n_tiles, rb, np.int32))
-            tcw_l.append(np.full(n_tiles, windows[s], np.int32))
+    if nnz:
+        erb = coo_row // row_block                    # per-edge row block
+        ew = col.astype(np.int64) // col_window       # per-edge window
+        order = np.lexsort((np.arange(nnz), ew, erb))  # stable (rb, w)
+        sc = col[order].astype(np.int64)
+        srb = erb[order]
+        sw = ew[order]
+        lr_all = (coo_row[order] - srb * row_block).astype(np.int32)
+        lc_all = (sc - sw * col_window).astype(np.int32)
+        cell = srb * num_cw + sw
+        # cell boundaries in the sorted edge stream
+        uniq_mask = np.empty(nnz, bool)
+        uniq_mask[0] = True
+        np.not_equal(cell[1:], cell[:-1], out=uniq_mask[1:])
+        cell_start = np.nonzero(uniq_mask)[0]          # [C]
+        counts = np.diff(np.append(cell_start, nnz))   # [C]
+        cell_rb = srb[cell_start].astype(np.int32)
+        cell_cw = sw[cell_start].astype(np.int32)
+        n_tiles_c = -(-counts // edge_tile)            # [C]
+        padded_c = n_tiles_c * edge_tile
+        pad_off = np.concatenate([[0], np.cumsum(padded_c)[:-1]])
+        total = int(padded_c.sum())
+        # slot of each sorted edge = its cell's padded offset + rank in cell
+        within = np.arange(nnz, dtype=np.int64) - np.repeat(
+            cell_start, counts)
+        slot = np.repeat(pad_off, counts) + within
+        lcol = np.zeros(total, np.int32)
+        lrow = np.zeros(total, np.int32)
+        eperm = np.full(total, -1, np.int32)
+        lcol[slot] = lc_all
+        lrow[slot] = lr_all
+        eperm[slot] = order.astype(np.int32)
+        tile_rb = np.repeat(cell_rb, n_tiles_c)
+        tile_cw = np.repeat(cell_cw, n_tiles_c)
+        # all-padding singleton tiles for row blocks with no edges
+        blk_deg = np.zeros(num_rb, np.int64)
+        np.add.at(blk_deg, np.arange(m) // row_block, deg)
+        empty_rb = np.nonzero(blk_deg == 0)[0].astype(np.int32)
+    else:
+        lcol = lrow = np.zeros(0, np.int32)
+        eperm = np.zeros(0, np.int32)
+        tile_rb = tile_cw = np.zeros(0, np.int32)
+        empty_rb = np.arange(num_rb, dtype=np.int32)
+    if len(empty_rb):
+        pad_n = len(empty_rb) * edge_tile
+        lcol = np.concatenate([lcol, np.zeros(pad_n, np.int32)])
+        lrow = np.concatenate([lrow, np.zeros(pad_n, np.int32)])
+        eperm = np.concatenate([eperm, np.full(pad_n, -1, np.int32)])
+        tile_rb = np.concatenate([tile_rb, empty_rb])
+        tile_cw = np.concatenate([tile_cw,
+                                  np.zeros(len(empty_rb), np.int32)])
 
     return BellPlan(
-        lcol=jnp.asarray(np.concatenate(lcol_l)),
-        lrow=jnp.asarray(np.concatenate(lrow_l)),
-        eperm=jnp.asarray(np.concatenate(perm_l)),
-        tile_rb=jnp.asarray(np.concatenate(trb_l)),
-        tile_cw=jnp.asarray(np.concatenate(tcw_l)),
-        num_tiles=int(sum(len(x) for x in trb_l)),
+        lcol=jnp.asarray(lcol),
+        lrow=jnp.asarray(lrow),
+        eperm=jnp.asarray(eperm),
+        tile_rb=jnp.asarray(tile_rb),
+        tile_cw=jnp.asarray(tile_cw),
+        num_tiles=len(tile_rb),
         edge_tile=edge_tile,
         row_block=row_block,
         col_window=col_window,

@@ -127,6 +127,18 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _ell_recombine(plan, concat: jax.Array) -> jax.Array:
+    """[concat_rows, F] bucket-order outputs -> [M, F] original order.
+    Appends a zeros block for the empty rows (excluded from the plan
+    layout) so the inv_row gather is a true permutation."""
+    n_empty = plan.num_rows - concat.shape[0]
+    if n_empty:
+        concat = jnp.concatenate(
+            [concat, jnp.zeros((n_empty, concat.shape[-1]), concat.dtype)],
+            axis=0)
+    return jnp.take(concat, plan.inv_row, axis=0)
+
+
 def spmm_ell(
     plan,                       # core.planner.EllPlan
     values: Optional[jax.Array],
@@ -176,7 +188,7 @@ def gspmm_ell(
         raise ValueError("gspmm_ell handles SUM/MEAN only")
 
     if isinstance(plan, BucketedEllPlan):
-        buckets = zip(plan.cols, plan.masks, plan.eperms)
+        buckets = [(c, m_, e) for c, m_, e, _, _ in plan.bucket_views()]
         inv_row = plan.inv_row
     else:
         buckets = [(plan.cols, plan.vals_mask, plan.eperm)]
@@ -196,8 +208,8 @@ def gspmm_ell(
         contrib = contrib.reshape(rb, k, f) * mask[:, :, None].astype(
             contrib.dtype)
         outs.append(contrib.sum(axis=1))
-    out = outs[0] if inv_row is None else jnp.take(
-        jnp.concatenate(outs, axis=0), inv_row, axis=0)
+    out = outs[0] if inv_row is None else _ell_recombine(
+        plan, jnp.concatenate(outs, axis=0))
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
@@ -218,7 +230,7 @@ def spmm_bucketed_ell(
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_bucketed_ell handles SUM/MEAN only")
     outs = []
-    for cols, mask, eperm in zip(plan.cols, plan.masks, plan.eperms):
+    for cols, mask, eperm, _rows, _k in plan.bucket_views():
         rb, k = cols.shape
         gathered = jnp.take(dense, cols.reshape(-1), axis=0)
         gathered = gathered.reshape(rb, k, dense.shape[-1])
@@ -228,8 +240,7 @@ def spmm_bucketed_ell(
             w = w * jnp.take(values, safe).reshape(rb, k).astype(w.dtype)
         outs.append(jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype),
                                gathered))
-    concat = jnp.concatenate(outs, axis=0)
-    out = jnp.take(concat, plan.inv_row, axis=0)
+    out = _ell_recombine(plan, jnp.concatenate(outs, axis=0))
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
@@ -480,8 +491,7 @@ def _ell_buckets(plan):
     from dgsparse_tpu.core.planner import BucketedEllPlan
 
     if isinstance(plan, BucketedEllPlan):
-        return list(zip(plan.cols, plan.masks, plan.eperms, plan.rows,
-                        plan.ks)), plan.inv_row
+        return plan.bucket_views(), plan.inv_row
     return [(plan.cols, plan.vals_mask, plan.eperm, None, plan.k)], None
 
 
@@ -528,5 +538,5 @@ def spmm_ell_maxmin(plan, values, dense, reduce, compute=None):
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     arg = args[0] if len(args) == 1 else jnp.concatenate(args, axis=0)
     if inv_row is not None:
-        out = jnp.take(out, inv_row, axis=0)
+        out = _ell_recombine(plan, out)
     return out.astype(dense.dtype), arg

@@ -54,6 +54,47 @@ def time_on_device(op: Callable, *args, iters: int = 50) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def time_on_device_2pt(op: Callable, *args, iters=(50, 250),
+                       repeats: int = 3) -> float:
+    """Two-point on-device timing: run the fori_loop chain at two iteration
+    counts and solve out the fixed per-dispatch cost.
+
+    The tunneled TPU adds a FIXED latency per dispatched computation that
+    varies by session (measured 1.3 ms .. 29 ms!). A single-count
+    measurement reports (fixed + N*real)/N — at N=50 and 29 ms that is
+    +580 us/iter of pure artifact (this polluted every round-1 number,
+    including the '3.83 ns/row gather ceiling'). The difference of two
+    counts cancels the fixed term exactly."""
+    import jax.numpy as jnp
+
+    n1, n2 = iters
+
+    def make(n):
+        @jax.jit
+        def run(s):
+            def body(i, s):
+                out = op(s, *args)
+                # consume the FULL output (see time_on_device)
+                return 1.0 + 0.0 * jnp.sum(out)
+
+            return jax.lax.fori_loop(0, n, body, s)
+
+        return run
+
+    r1, r2 = make(n1), make(n2)
+    jax.block_until_ready(r1(jnp.float32(1.0)))
+    jax.block_until_ready(r2(jnp.float32(1.0)))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(r1(jnp.float32(1.0)))
+        t1 = time.perf_counter()
+        jax.block_until_ready(r2(jnp.float32(1.0)))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return max(best, 0.0)
+
+
 def spmm_gflops(nnz: int, feat: int, seconds: float) -> float:
     """2*nnz*N/t (example/ge-spmm/spmm.cu:162-164)."""
     return 2.0 * nnz * feat / seconds / 1e9
