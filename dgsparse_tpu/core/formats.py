@@ -116,6 +116,7 @@ class Storage:
         self._nnz = nnz
 
         rowptr_np = col_np = None
+        self._tune_key = None
         if concrete:
             rowptr_np = np.asarray(jax.device_get(self._rowptr))
             col_np = np.asarray(jax.device_get(self._col))
@@ -123,6 +124,16 @@ class Storage:
                 raise ValueError(
                     f"col index {int(col_np.max())} out of range "
                     f"[0, {num_cols}) — wrong sparse_sizes?")
+            # sampled structure hash: keys the persistent tuner cache
+            # (utils/tune.py); consulted by spmm's AUTO at trace time
+            import hashlib
+
+            h = hashlib.blake2b(digest_size=12)
+            h.update(f"{num_rows},{num_cols},{nnz}".encode())
+            for a in (rowptr_np, col_np):
+                step = max(len(a) // 65536, 1)
+                h.update(np.ascontiguousarray(a[::step]).tobytes())
+            self._tune_key = h.hexdigest()
 
         if _cached is not None:
             (self._colptr, self._row_csc, self._csr2csc, self._coo_row,
@@ -191,7 +202,7 @@ class Storage:
                                                   num_cols)
                     # flat plan layout: many buckets are cheap (3 device
                     # arrays total regardless of bucket count)
-                    if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 48:
+                    if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 64:
                         self._ell_fwd = bek
             # BELL 2D plans only pay off when cells genuinely fill (measured:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.
@@ -280,7 +291,7 @@ class Storage:
             self._bell_bwd,
             self._ell_fwd,
         )
-        aux = (self._num_rows, self._num_cols, self._nnz)
+        aux = (self._num_rows, self._num_cols, self._nnz, self._tune_key)
         return children, aux
 
     @classmethod
@@ -301,7 +312,7 @@ class Storage:
             obj._bell_bwd,
             obj._ell_fwd,
         ) = children
-        obj._num_rows, obj._num_cols, obj._nnz = aux
+        obj._num_rows, obj._num_cols, obj._nnz, obj._tune_key = aux
         return obj
 
 
@@ -422,6 +433,7 @@ class SparseTensor:
         st._plan_fwd, st._plan_bwd = src._plan_fwd, src._plan_bwd
         st._bell_fwd, st._bell_bwd = src._bell_fwd, src._bell_bwd
         st._ell_fwd = src._ell_fwd
+        st._tune_key = src._tune_key
         st._num_rows, st._num_cols, st._nnz = (
             src._num_rows,
             src._num_cols,
@@ -459,6 +471,7 @@ class SparseTensor:
         st._plan_fwd, st._plan_bwd = src._plan_bwd, src._plan_fwd
         st._bell_fwd, st._bell_bwd = src._bell_bwd, src._bell_fwd
         st._ell_fwd = None
+        st._tune_key = None  # transposed structure: tuned entries don't map
         st._num_rows, st._num_cols = src._num_cols, src._num_rows
         st._nnz = src._nnz
         obj.storage = st

@@ -290,25 +290,34 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
     # nonempty rows (scatter) or gathers a sentinel zero row (inv_row =
     # concat_rows for empty rows).
     nonempty = np.nonzero(deg > 0)[0]
-    # bucket = index of the smallest ladder K >= degree
+    # bucket = index of the smallest ladder K >= degree; extend the ladder
+    # by pow2 steps when a hub row exceeds its top rung
     kb = deg[nonempty]
-    bucket_ne = np.searchsorted(_K_LADDER, kb, side="left").astype(np.int64)
+    lad = _K_LADDER
+    maxdeg = int(kb.max()) if len(kb) else 1
+    if maxdeg > lad[-1]:
+        extra, v = [], int(lad[-1])
+        while v < maxdeg:
+            v *= 2
+            extra.append(v)
+        lad = np.concatenate([lad, np.asarray(extra, np.int64)])
+    bucket_ne = np.searchsorted(lad, kb, side="left").astype(np.int64)
     # Merge slot-poor buckets upward: every bucket is a separate jit
     # subgraph (gather + einsum, and [rb,K,F] winner masks in the max/min
     # backward), so dozens of tiny buckets cost compile time and gather
     # dispatch for no padding win. A bucket smaller than ~2K slots joins the
     # next one up unless that would more than quadruple its slot count.
-    counts = np.bincount(bucket_ne, minlength=len(_K_LADDER))
-    remap = np.arange(len(_K_LADDER), dtype=np.int64)
+    counts = np.bincount(bucket_ne, minlength=len(lad))
+    remap = np.arange(len(lad), dtype=np.int64)
     nz = np.nonzero(counts)[0]
     for pos in range(len(nz) - 1):
         i, j = nz[pos], nz[pos + 1]
-        if counts[i] * _K_LADDER[i] < 2048 and \
-                counts[i] * _K_LADDER[j] < 8192:
+        if counts[i] * lad[i] < 2048 and \
+                counts[i] * lad[j] < 8192:
             remap[i] = j
             counts[j] += counts[i]
             counts[i] = 0
-    for i in range(len(_K_LADDER) - 2, -1, -1):
+    for i in range(len(lad) - 2, -1, -1):
         remap[i] = remap[remap[i]]
     bucket_ne = remap[bucket_ne]
     order = nonempty[np.argsort(bucket_ne, kind="stable")]  # bucket order
@@ -332,7 +341,7 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
     ends = np.concatenate([boundaries, [n_ne]])
     for s, t in zip(starts, ends):
         rows = order[s:t]
-        k = int(_K_LADDER[int(sorted_bucket[s])])
+        k = int(lad[int(sorted_bucket[s])])
         rb = len(rows)
         c = np.zeros((rb, k), np.int32)
         ep = np.full((rb, k), -1, np.int32)

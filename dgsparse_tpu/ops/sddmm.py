@@ -35,23 +35,30 @@ def _use_esc(plan, nnz) -> bool:
             and nnz >= 4096 and plan.pad_ratio() <= 4.0)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _sddmm(reduce: ReduceOp, num_rows: int, num_cols: int, idx, d1, d2):
-    # The 2-row-gather XLA formulation beats the Pallas one-hot-expansion
-    # kernel at EVERY measured scale (p2p 1.8 vs 3.2 ms, arxiv-scale 14 vs
-    # 32 ms @F=32): SDDMM has per-edge outputs and no reduction, so the
-    # gather is the whole cost and the kernel's per-tile MXU expansion is
-    # pure overhead (kernels/pallas_sddmm.py retained for the record).
-    rowptr, col, coo_row, _, _, _, _, _, _ = idx
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _sddmm(reduce: ReduceOp, num_rows: int, num_cols: int, use_pallas: bool,
+           idx, d1, d2):
+    # AUTO = the 2-row-gather XLA formulation: it beats the Pallas one-hot-
+    # expansion kernel at EVERY measured scale (p2p 1.8 vs 3.2 ms,
+    # arxiv-scale 14 vs 32 ms @F=32) — SDDMM has per-edge outputs and no
+    # reduction, so the gather is the whole cost and the kernel's per-tile
+    # MXU expansion is pure overhead. The Pallas kernel stays reachable via
+    # algorithm="pallas" for structures where a future table flips the call.
+    rowptr, col, coo_row, _, _, _, plan_fwd, _, _ = idx
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
+    if use_pallas and plan_fwd is not None:
+        from dgsparse_tpu.kernels.pallas_sddmm import sddmm_esc
+
+        return sddmm_esc(plan_fwd, d1, d2, reduce, degrees)
     return kx.sddmm(coo_row, col, d1, d2, reduce, degrees)
 
 
-def _sddmm_fwd(reduce, num_rows, num_cols, idx, d1, d2):
-    return _sddmm(reduce, num_rows, num_cols, idx, d1, d2), (idx, d1, d2)
+def _sddmm_fwd(reduce, num_rows, num_cols, use_pallas, idx, d1, d2):
+    return _sddmm(reduce, num_rows, num_cols, use_pallas, idx, d1,
+                  d2), (idx, d1, d2)
 
 
-def _sddmm_bwd(reduce, num_rows, num_cols, residuals, g):
+def _sddmm_bwd(reduce, num_rows, num_cols, use_pallas, residuals, g):
     idx, d1, d2 = residuals
     rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd, \
         csc_col = idx
@@ -88,17 +95,22 @@ _sddmm.defvjp(_sddmm_fwd, _sddmm_bwd)
 
 
 def sddmm(sparse: SparseTensor, d1: jax.Array, d2: jax.Array,
-          reduce="sum") -> jax.Array:
+          reduce="sum", algorithm="auto") -> jax.Array:
     """Per-edge dots over the sparsity pattern of `sparse`.
 
     d1: [M, F] (rows), d2: [N, F] (cols). Returns [nnz] in CSR edge order.
+    algorithm: "auto" (measured winner: the XLA 2-row-gather form),
+    "xla" (explicit), or "pallas" (the one-hot expansion kernel,
+    kernels/pallas_sddmm.py — needs an edge-tile plan).
     """
     reduce = as_reduce(reduce)
+    if algorithm not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown sddmm algorithm {algorithm!r}")
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True), st.csc_col())
     m, n = sparse.sparse_sizes()
-    return _sddmm(reduce, m, n, idx, d1, d2)
+    return _sddmm(reduce, m, n, algorithm == "pallas", idx, d1, d2)
 
 
 def sddmm_coo(row: jax.Array, col: jax.Array, d1: jax.Array,

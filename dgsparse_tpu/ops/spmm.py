@@ -323,6 +323,16 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
             f"dense rows {dense.shape[0]} != sparse num_cols "
             f"{sparse.sparse_sizes()[1]}")
     st = sparse.storage
+    if algorithm == Algorithm.AUTO:
+        # consult the persistent tuner cache (utils/tune.py) — a dict
+        # lookup on the structure hash Storage precomputed; trace-time
+        # static, zero device work
+        from dgsparse_tpu.utils import tune as _tune
+
+        tuned = _tune.lookup_key(getattr(st, "_tune_key", None),
+                                 int(dense.shape[-1]), reduce)
+        if tuned is not None:
+            algorithm = tuned
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True),
            st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan(),

@@ -70,8 +70,8 @@ def test_tune_spmm():
     rowptr, col, vals = random_csr(900, 800, avg_degree=6, seed=1)
     sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
                                jnp.asarray(vals), sparse_sizes=(900, 800))
-    best, times = tune_spmm(sp, 8, "sum", iters=2)
+    best, times = tune_spmm(sp, 8, "sum", iters=(2, 6), use_cache=False)
     assert best in times and len(times) >= 2
-    assert all(t > 0 for t in times.values())
+    assert all(t >= 0 for t in times.values())
     rep = tune_report(sp, feats=(8,), reduce="sum")
     assert "best=" in rep
