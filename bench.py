@@ -74,14 +74,15 @@ def child(algorithm_name: str, out_path: str) -> None:
     np.testing.assert_allclose(out[:2048], ref[:2048], rtol=1e-3, atol=1e-3)
     log(f"[{algorithm_name}] correctness OK on {backend}")
 
-    # TWO-POINT on-device timing (lax.fori_loop at two iteration counts,
-    # difference cancels the tunnel's fixed per-dispatch latency — measured
-    # 1.3..29 ms depending on session; a single-count loop at N=100 would
-    # overstate kernel time by up to +290 us/iter).
-    from dgsparse_tpu.utils.bench import time_on_device_2pt
+    # TWO-POINT on-device timing with array-carry chaining (lax.fori_loop
+    # at two iteration counts; the difference cancels the tunnel's fixed
+    # per-dispatch latency — measured 1.3..29 ms depending on session; a
+    # single-count loop at N=100 would overstate kernel time by up to
+    # +290 us/iter, which is what polluted the round-1 number).
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
 
-    dt = time_on_device_2pt(lambda s: spmm(sp, b * s, "sum", alg),
-                            iters=(50, 250), repeats=3)
+    dt = time_pytree_2pt(lambda x: spmm(sp, x, "sum", alg), (b,),
+                         iters=(50, 250), repeats=3)
     gflops = 2.0 * nnz * FEAT / dt / 1e9
     log(f"[{algorithm_name}] {dt * 1e6:.1f} us, {gflops:.2f} GFLOP/s")
     with open(out_path, "w") as f:

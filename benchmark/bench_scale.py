@@ -16,7 +16,7 @@ Graphs are synthetic but shape-matched to the published datasets:
       (Reddit's defining structure) — the BELL 2-D one-hot kernel's
       target; cells fill and the kernel goes MXU-bound.
 
-All timing is two-point on-device (utils.bench.time_on_device_2pt): the
+All timing is two-point on-device with array-carry chaining (utils.bench.time_pytree_2pt): the
 tunnel adds a session-dependent FIXED latency per dispatch (1.3..29 ms
 measured) that a single-count loop folds into every number.
 
@@ -94,7 +94,7 @@ def clustered_graph(m, n, avg_deg, seed=0, intra=0.8, comm=194):
 def bench_standard(name, rowptr, col, feat, algs):
     """SparseTensor-based spmm benchmark (plans built)."""
     from dgsparse_tpu import Algorithm, SparseTensor, spmm
-    from dgsparse_tpu.utils.bench import time_on_device_2pt
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
 
     m, nnz = len(rowptr) - 1, len(col)
     n = m
@@ -107,8 +107,8 @@ def bench_standard(name, rowptr, col, feat, algs):
     rows = []
     for alg in algs:
         try:
-            dt = time_on_device_2pt(
-                lambda s, a=Algorithm[alg]: spmm(sp, b * s, "sum", a),
+            dt = time_pytree_2pt(
+                lambda x, a=Algorithm[alg]: spmm(sp, x, "sum", a), (b,),
                 iters=(20, 60), repeats=3)
             rows.append(_row(name, alg, nnz, m, n, feat, dt))
         except Exception as ex:
@@ -118,7 +118,7 @@ def bench_standard(name, rowptr, col, feat, algs):
 
 def bench_reddit_lean(name, rowptr, col, feat, chunks=16):
     """Row-chunked XLA segment SpMM: peak memory O(nnz/chunks * F)."""
-    from dgsparse_tpu.utils.bench import time_on_device_2pt
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
 
     m, nnz = len(rowptr) - 1, len(col)
     n = m
@@ -147,35 +147,36 @@ def bench_reddit_lean(name, rowptr, col, feat, chunks=16):
                 indices_are_sorted=True))
         return jnp.concatenate(outs, axis=0)
 
-    dt = time_on_device_2pt(lambda s: fwd(b * s), iters=(3, 9), repeats=3)
+    dt = time_pytree_2pt(fwd, (b,), iters=(3, 9), repeats=3)
     return [_row(name, f"XLA_CHUNKED[{chunks}]", nnz, m, n, feat, dt)]
 
 
-def bench_reddit_bell(name, rowptr, col, feat, edge_tile=128):
-    """Direct BELL kernel benchmark (plan built standalone, lean tensor)."""
-    from dgsparse_tpu.core.planner import build_bell_plan
-    from dgsparse_tpu.kernels.pallas_spmm import spmm_bell
-    from dgsparse_tpu.utils.bench import time_on_device_2pt
+def bench_reddit_hybrid(name, rowptr, col, feat):
+    """Hybrid BELL+ELL benchmark (plan built standalone, lean tensor):
+    dense cells on the MXU, residue on bucketed ELL."""
+    from dgsparse_tpu.core.planner import build_hybrid_plan
+    from dgsparse_tpu.kernels.pallas_spmm import spmm_hybrid
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
 
     m, nnz = len(rowptr) - 1, len(col)
     n = m
     t0 = time.perf_counter()
-    plan = build_bell_plan(rowptr, col, n, edge_tile=edge_tile)
-    log(f"[{name}] BELL plan {time.perf_counter()-t0:.1f}s "
-        f"pad={plan.pad_ratio():.2f} tiles={plan.num_tiles}")
-    if plan.pad_ratio() > 4.0:
-        log(f"[{name}] BELL pad too high; skipping")
+    plan = build_hybrid_plan(rowptr, col, n)
+    if plan is None:
+        log(f"[{name}] hybrid plan rejected (dense fraction < 25%)")
         return []
+    log(f"[{name}] hybrid plan {time.perf_counter()-t0:.1f}s "
+        f"dense={plan.dense_fraction*100:.0f}% pad={plan.pad_ratio():.2f} "
+        f"bell_tiles={plan.bell.num_tiles}")
     rng = np.random.default_rng(1)
     b = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
     rows = []
     for cd, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-        dt = time_on_device_2pt(
-            lambda s, cd=cd: spmm_bell(plan, None, b * s,
-                                       compute_dtype=cd),
-            iters=(3, 9), repeats=3)
-        rows.append(_row(name, f"PALLAS_BELL[{tag},E={edge_tile}]",
-                         nnz, m, n, feat, dt))
+        dt = time_pytree_2pt(
+            lambda x, cd=cd: spmm_hybrid(plan, None, x, compute_dtype=cd),
+            (b,), iters=(3, 9), repeats=3)
+        rows.append(_row(name, f"PALLAS_HYBRID[{tag}]", nnz, m, n, feat,
+                         dt))
     return rows
 
 
@@ -207,9 +208,9 @@ def main():
                                    "XLA_SEGMENT"])
 
     if not args.quick:
-        # --- reddit scale, clustered (BELL target) ---
+        # --- reddit scale, clustered (hybrid BELL+ELL target) ---
         rowptr, col = clustered_graph(232965, 232965, 492, seed=4)
-        results += bench_reddit_bell("reddit-clustered", rowptr, col, 64)
+        results += bench_reddit_hybrid("reddit-clustered", rowptr, col, 64)
         # --- reddit scale, random (lean chunked path) ---
         rowptr, col = clustered_graph(232965, 232965, 492, seed=5,
                                       intra=0.0)

@@ -26,7 +26,7 @@ import jax.numpy as jnp  # noqa: E402
 
 def main():
     from dgsparse_tpu.ops.spconv import build_rulebook, spconv
-    from dgsparse_tpu.utils.bench import time_on_device_2pt
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
 
     num_points = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     results = []
@@ -49,8 +49,8 @@ def main():
         kernel = jnp.asarray(rng.standard_normal((plan.k_vol, c_in, c_out))
                              .astype(np.float32) * 0.05)
 
-        dt = time_on_device_2pt(lambda s: spconv(feats * s, kernel, plan),
-                                iters=(20, 100), repeats=3)
+        dt = time_pytree_2pt(lambda f, w: spconv(f, w, plan),
+                             (feats, kernel), iters=(20, 100), repeats=3)
         mv = num_points / dt / 1e6
         print(f"c={c_in}->{c_out} fwd: {dt*1e3:.3f} ms = {mv:.1f} Mvox/s",
               flush=True)
@@ -60,13 +60,13 @@ def main():
         ct = jnp.asarray(rng.standard_normal(
             (plan.num_out, c_out)).astype(np.float32))
 
-        def fwdbwd(s):
-            gf, gw = jax.grad(
-                lambda f, w: jnp.vdot(spconv(f, w, plan), ct),
-                argnums=(0, 1))(feats * s, kernel)
-            return jnp.sum(gf) + jnp.sum(gw)
+        def fwdbwd(f, w):
+            return jax.grad(
+                lambda f_, w_: jnp.vdot(spconv(f_, w_, plan), ct),
+                argnums=(0, 1))(f, w)
 
-        dt = time_on_device_2pt(fwdbwd, iters=(10, 50), repeats=3)
+        dt = time_pytree_2pt(fwdbwd, (feats, kernel), iters=(10, 50),
+                             repeats=3)
         print(f"c={c_in}->{c_out} fwd+bwd: {dt*1e3:.3f} ms = "
               f"{num_points/dt/1e6:.1f} Mvox/s", flush=True)
         results[-1]["fwdbwd_ms"] = round(dt * 1e3, 3)

@@ -190,7 +190,8 @@ class Storage:
             # single-K for degree-regular structures, degree-bucketed
             # otherwise (bounded padding even on power-law graphs).
             if nnz >= 4096:
-                from dgsparse_tpu.core.planner import build_bucketed_ell_plan
+                from dgsparse_tpu.core.planner import (
+                    build_bucketed_ell_plan, build_hybrid_plan)
 
                 deg_np = np.diff(rowptr_np)
                 max_deg = int(deg_np.max()) if len(deg_np) else 0
@@ -198,12 +199,19 @@ class Storage:
                     self._ell_fwd = build_ell_plan(rowptr_np, col_np,
                                                    num_cols)
                 else:
-                    bek = build_bucketed_ell_plan(rowptr_np, col_np,
-                                                  num_cols)
-                    # flat plan layout: many buckets are cheap (3 device
-                    # arrays total regardless of bucket count)
-                    if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 64:
-                        self._ell_fwd = bek
+                    # dense enough that (128x128) cells might fill: try the
+                    # hybrid split (dense cells -> BELL MXU, residue -> ELL)
+                    if nnz / max(num_rows, 1) >= 16:
+                        hyb = build_hybrid_plan(rowptr_np, col_np, num_cols)
+                        if hyb is not None and hyb.dense_fraction >= 0.3:
+                            self._ell_fwd = hyb
+                    if self._ell_fwd is None:
+                        bek = build_bucketed_ell_plan(rowptr_np, col_np,
+                                                      num_cols)
+                        # flat plan layout: many buckets are cheap (3
+                        # device arrays regardless of bucket count)
+                        if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 64:
+                            self._ell_fwd = bek
             # BELL 2D plans only pay off when cells genuinely fill (measured:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.
             if nnz >= 4096 and nnz / max(num_rows, 1) >= 32:

@@ -371,6 +371,117 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class HybridPlan:
+    """Dense cells -> BELL (fully in-MXU, zero random access), sparse
+    residue -> bucketed ELL (gather + K-sum). The decomposition that makes
+    clustered graphs (communities, hub columns) fast: every (128-row x
+    128-col) cell holding >= `dense_threshold` x edge_tile edges runs on
+    the MXU; only the leftover edges pay the issue-bound gather.
+
+    No reference counterpart — the reference's answer to structure is its
+    runtime algorithm zoo (src/ge-spmm/gespmm.cc); here structure is
+    exploited at plan time."""
+
+    bell: "BellPlan"          # dense cells (eperm in ORIGINAL edge ids)
+    ell: "BucketedEllPlan"    # residue (eperm in ORIGINAL edge ids)
+    num_rows: int
+    num_cols: int
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.bell, self.ell), (self.num_rows, self.num_cols,
+                                       self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def dense_fraction(self) -> float:
+        return self.bell.nnz / max(self.nnz, 1)
+
+    def pad_ratio(self) -> float:
+        padded = (self.bell.padded_edges
+                  + sum(rb * k for rb, k in zip(self.ell.rbs, self.ell.ks)))
+        return padded / max(self.nnz, 1)
+
+
+def build_hybrid_plan(
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    num_cols: int,
+    edge_tile: int = 128,
+    row_block: int = 128,
+    col_window: int = 128,
+    dense_threshold: float = 0.75,
+):
+    """Split edges into dense-cell (BELL) and residue (bucketed ELL) parts.
+
+    Returns a HybridPlan, or None when fewer than 25% of edges live in
+    dense cells (plain bucketed ELL wins then). Both sub-plans carry
+    eperm/inv in ORIGINAL edge-id space, so values/gradients route without
+    extra remapping."""
+    rowptr = np.asarray(jax.device_get(rowptr))
+    col = np.asarray(jax.device_get(col))
+    m = len(rowptr) - 1
+    nnz = len(col)
+    if nnz == 0:
+        return None
+    deg = np.diff(rowptr)
+    coo_row = np.repeat(np.arange(m, dtype=np.int64), deg)
+    num_cw = max(-(-num_cols // col_window), 1)
+    cell = (coo_row // row_block) * num_cw + col.astype(np.int64) \
+        // col_window
+    # count edges per touched cell via sort (cells of one row block are
+    # contiguous in edge order already; full sort keeps it simple)
+    order = np.argsort(cell, kind="stable")
+    cs = cell[order]
+    uniq_mask = np.empty(nnz, bool)
+    uniq_mask[0] = True
+    np.not_equal(cs[1:], cs[:-1], out=uniq_mask[1:])
+    starts = np.nonzero(uniq_mask)[0]
+    counts = np.diff(np.append(starts, nnz))
+    min_edges = int(dense_threshold * edge_tile)
+    dense_cells = counts >= min_edges
+    dense_mask_sorted = np.repeat(dense_cells, counts)
+    dense_edges = order[dense_mask_sorted]          # original edge ids
+    if len(dense_edges) < 0.25 * nnz:
+        return None
+    dense_edge_mask = np.zeros(nnz, bool)
+    dense_edge_mask[dense_edges] = True
+
+    def sub_csr(mask):
+        ids = np.nonzero(mask)[0].astype(np.int32)  # original edge ids,
+        sub_col = col[ids]                          # CSR order preserved
+        sub_deg = np.zeros(m, np.int64)
+        np.add.at(sub_deg, coo_row[ids], 1)
+        sub_rowptr = np.zeros(m + 1, np.int64)
+        sub_rowptr[1:] = np.cumsum(sub_deg)
+        return sub_rowptr.astype(np.int32), sub_col, ids
+
+    b_rowptr, b_col, b_ids = sub_csr(dense_edge_mask)
+    e_rowptr, e_col, e_ids = sub_csr(~dense_edge_mask)
+    bell = build_bell_plan(b_rowptr, b_col, num_cols, edge_tile=edge_tile,
+                           row_block=row_block, col_window=col_window)
+    ell = build_bucketed_ell_plan(e_rowptr, e_col, num_cols)
+    # remap sub-plan edge ids to original ids
+    bp = np.asarray(bell.eperm)
+    bell.eperm = jnp.asarray(np.where(bp >= 0, b_ids[np.maximum(bp, 0)],
+                                      -1).astype(np.int32))
+    ep = np.asarray(ell.eperm)
+    ell.eperm = jnp.asarray(np.where(ep >= 0, e_ids[np.maximum(ep, 0)],
+                                     -1).astype(np.int32))
+    # residual inv maps original edge -> flat ELL slot; only meaningful
+    # for residue edges (dense edges keep 0 — never read)
+    inv = np.zeros(nnz, np.int32)
+    inv[e_ids] = np.asarray(ell.inv)
+    ell.inv = jnp.asarray(inv)
+    return HybridPlan(bell=bell, ell=ell, num_rows=m, num_cols=num_cols,
+                      nnz=nnz)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class BellPlan:
     """Blocked-ELL plan: 2D (row-block x column-window) tiles for the fully
     in-MXU BELL kernel. Every tile's edges live inside one 128-row output

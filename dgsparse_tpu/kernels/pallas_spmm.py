@@ -248,6 +248,30 @@ def spmm_bucketed_ell(
     return out
 
 
+def spmm_hybrid(
+    plan,                      # core.planner.HybridPlan
+    values: Optional[jax.Array],
+    dense: jax.Array,
+    reduce: ReduceOp = ReduceOp.SUM,
+    degrees: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Dense cells on the BELL MXU kernel + residue on bucketed ELL; the
+    two parts are row-partitioned sums, so out = bell + ell. MEAN divides
+    once at the end (both parts run as SUM)."""
+    if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
+        raise ValueError("spmm_hybrid handles SUM/MEAN only")
+    out = spmm_bell(plan.bell, values, dense, ReduceOp.SUM,
+                    compute_dtype=compute_dtype).astype(jnp.float32)
+    out = out + spmm_bucketed_ell(plan.ell, values, dense,
+                                  ReduceOp.SUM).astype(jnp.float32)
+    if reduce == ReduceOp.MEAN:
+        if degrees is None:
+            raise ValueError("degrees required for MEAN")
+        out = out / jnp.maximum(degrees, 1).astype(out.dtype)[:, None]
+    return out.astype(dense.dtype)
+
+
 def _bell_kernel(row_block: int, edge_tile: int, col_window: int,
                  compute_dtype,
                  tile_rb_ref, tile_cw_ref, lcol_ref, lrow_ref, vals_ref,

@@ -50,10 +50,12 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                                    col.shape[0], reduce, ell_fwd)
     if algorithm == Algorithm.PALLAS_ROW_TILE and ell_fwd is not None \
             and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
-        from dgsparse_tpu.core.planner import BucketedEllPlan
+        from dgsparse_tpu.core.planner import BucketedEllPlan, HybridPlan
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
-        if isinstance(ell_fwd, BucketedEllPlan):
+        if isinstance(ell_fwd, HybridPlan):
+            out = kp.spmm_hybrid(ell_fwd, vals, dense, reduce, degrees)
+        elif isinstance(ell_fwd, BucketedEllPlan):
             out = kp.spmm_bucketed_ell(ell_fwd, vals, dense, reduce, degrees)
         else:
             out = kp.spmm_ell(ell_fwd, vals, dense, reduce, degrees)
@@ -75,8 +77,10 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
             return kx.spmm_forward(coo_row, col, vals, dense, num_rows,
                                    reduce, degrees)
         if reduce in (ReduceOp.MAX, ReduceOp.MIN):
+            from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
+
             if algorithm == Algorithm.PALLAS_ROW_TILE and \
-                    ell_fwd is not None:
+                    isinstance(ell_fwd, (EllPlan, BucketedEllPlan)):
                 from dgsparse_tpu.kernels.pallas_spmm import \
                     spmm_ell_maxmin
 
@@ -107,8 +111,14 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
     if algorithm != Algorithm.AUTO:
         return algorithm
     if jax.default_backend() == "tpu" and nnz >= 4096:
-        from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
+        from dgsparse_tpu.core.planner import (BucketedEllPlan, EllPlan,
+                                               HybridPlan)
 
+        # hybrid (dense cells -> BELL MXU + residue ELL) first: it only
+        # exists when >= 30% of edges escaped the gather entirely
+        if isinstance(ell, HybridPlan) and reduce in (ReduceOp.SUM,
+                                                      ReduceOp.MEAN):
+            return Algorithm.PALLAS_ROW_TILE
         # measured on v5e: single-K ELL 3.6x over ESC on regular graphs;
         # bucketed ELL 1.65x over ESC at pad 1.39 and at-parity-or-better
         # up to pad ~1.9 (two sessions) — gate at 2.0.
@@ -191,12 +201,14 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
         # fully static, so recomputing it reproduces the forward's choice.
         alg_mm = _resolve_algorithm(algorithm, plan_fwd, bell_fwd, nnz,
                                     reduce, ell_fwd)
+        from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
+
         any_pallas = (alg_mm in (Algorithm.PALLAS_ROW_TILE,
                                  Algorithm.PALLAS_EDGE_TILE,
                                  Algorithm.PALLAS_BELL)
                       and g.shape[-1] <= 2048 and plan_fwd is not None)
         used_ell = (any_pallas and alg_mm == Algorithm.PALLAS_ROW_TILE
-                    and ell_fwd is not None)
+                    and isinstance(ell_fwd, (EllPlan, BucketedEllPlan)))
         # mirror the forward's f32-slot-id guard on the ESC max/min kernel
         used_pallas = any_pallas and (
             used_ell or plan_fwd.padded_edges < 2 ** 24)

@@ -95,6 +95,64 @@ def time_on_device_2pt(op: Callable, *args, iters=(50, 250),
     return max(best, 0.0)
 
 
+_BUMP = 1.0 + 2.0 ** -20  # exactly representable in f32; 250 iters drift 0.02%
+
+
+def time_pytree_2pt(fn: Callable, args: tuple, iters=(50, 250),
+                    repeats: int = 3) -> float:
+    """Two-point on-device timing of fn(*args) with ARRAY-CARRY chaining.
+
+    The scalar-scaling convention (op(x * s)) is UNSOUND for gradients of
+    linear ops: grad wrt a weight whose cotangent is a closure constant is
+    loop-INVARIANT and XLA hoists the whole backward out of the loop
+    (observed: a real 2+ ms spconv fwd+bwd measured 0). Here every float
+    input is a loop carry, multiplied by (1 + 2^-20) per iteration —
+    nothing is invariant and no scalar factor can be algebraically pulled
+    through the computation. Integer leaves (indices) pass through
+    untouched. Outputs are consumed in full via a carried accumulator.
+    The two iteration counts cancel the tunnel's fixed dispatch latency."""
+    import jax.numpy as jnp
+
+    def _bump(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a * jnp.asarray(_BUMP, a.dtype)
+        return a
+
+    def _consume(out):
+        leaves = [x for x in jax.tree.leaves(out)
+                  if hasattr(x, "dtype")
+                  and jnp.issubdtype(x.dtype, jnp.floating)]
+        return sum((jnp.sum(x.astype(jnp.float32)) * 1e-30 for x in leaves),
+                   jnp.float32(0.0))
+
+    def make(n):
+        @jax.jit
+        def run(args):
+            def body(i, c):
+                a, acc = c
+                out = fn(*a)
+                return jax.tree.map(_bump, a), acc + _consume(out)
+
+            return jax.lax.fori_loop(0, n, body,
+                                     (args, jnp.float32(0.0)))[1]
+
+        return run
+
+    n1, n2 = iters
+    r1, r2 = make(n1), make(n2)
+    jax.block_until_ready(r1(args))
+    jax.block_until_ready(r2(args))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(r1(args))
+        t1 = time.perf_counter()
+        jax.block_until_ready(r2(args))
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return max(best, 0.0)
+
+
 def spmm_gflops(nnz: int, feat: int, seconds: float) -> float:
     """2*nnz*N/t (example/ge-spmm/spmm.cu:162-164)."""
     return 2.0 * nnz * feat / seconds / 1e9

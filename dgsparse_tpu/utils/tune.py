@@ -134,11 +134,11 @@ def tune_spmm(sparse: SparseTensor, feat: int, reduce="sum",
 
     with_grad=True times the full fwd+bwd (training workloads); the
     forward-only and trained rankings can differ. Timing is two-point
-    on-device (utils/bench.time_on_device_2pt) so neither per-call dispatch
+    on-device with array-carry chaining (utils/bench.time_pytree_2pt) so neither dispatch
     nor the tunnel's fixed latency pollutes the ranking. The winner is
     persisted; a later call (any process) with the same structure returns
     it instantly."""
-    from dgsparse_tpu.utils.bench import time_on_device_2pt
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
 
     reduce = as_reduce(reduce)
     skey = structure_key(sparse)
@@ -164,21 +164,20 @@ def tune_spmm(sparse: SparseTensor, feat: int, reduce="sum",
     for alg in _candidates(sparse, reduce):
         try:
             if with_grad:
-                grad = jax.grad(
-                    lambda v, b: jnp.vdot(
-                        spmm(sparse.set_values(v), b, reduce, alg), ct),
-                    argnums=(0, 1))
+                # array-carry chain: both differentiated inputs vary per
+                # iteration, so neither gradient is loop-invariant (a
+                # scalar-scaled chain lets XLA hoist the whole backward)
+                def body(v, b, alg=alg):
+                    return jax.grad(
+                        lambda v_, b_: jnp.vdot(
+                            spmm(sparse.set_values(v_), b_, reduce, alg),
+                            ct), argnums=(0, 1))(v, b)
 
-                def body(s, grad=grad):
-                    gv, gb = grad(vals * s, x)
-                    # consume FULL gradients (sum of all elements) — a
-                    # sliced consumer lets XLA DCE the backward under test
-                    return gv.sum() + gb.sum()
+                times[alg] = time_pytree_2pt(body, (vals, x), iters=iters)
             else:
-                def body(s, alg=alg):
-                    # return the full output; the timing chain sums it
-                    return spmm(sparse, x * s, reduce, alg)
-            times[alg] = time_on_device_2pt(body, iters=iters)
+                times[alg] = time_pytree_2pt(
+                    lambda b, alg=alg: spmm(sparse, b, reduce, alg), (x,),
+                    iters=iters)
         except Exception:  # e.g. kernel constraints on this backend
             continue
     if not times:

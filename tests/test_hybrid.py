@@ -1,0 +1,101 @@
+"""Hybrid BELL+ELL schedule: dense cells on the MXU kernel, residue on
+bucketed ELL (no reference counterpart — plan-time structure split)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgsparse_tpu import Algorithm, SparseTensor, spmm
+from dgsparse_tpu.core.planner import HybridPlan, build_hybrid_plan
+from dgsparse_tpu.utils.testing import spmm_oracle
+
+
+def clustered_csr(m=1500, n=1500, deg=40, comm=150, intra=0.8, seed=0):
+    rng = np.random.default_rng(seed)
+    degs = np.maximum(rng.poisson(deg, m), 0).astype(np.int64)
+    degs[::17] = 0  # some empty rows
+    nnz = int(degs.sum())
+    row = np.repeat(np.arange(m, dtype=np.int64), degs)
+    c0 = (row // comm) * comm
+    width = np.minimum(comm, n - c0)
+    pick = rng.random(nnz) < intra
+    col = np.where(pick, c0 + rng.integers(0, 1 << 30, nnz) % width,
+                   rng.integers(0, n, nnz)).astype(np.int32)
+    order = np.argsort(row * (n + 1) + col, kind="stable")
+    col = col[order]
+    rowptr = np.zeros(m + 1, np.int64)
+    rowptr[1:] = np.cumsum(degs)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    return rowptr.astype(np.int32), col, vals
+
+
+def test_hybrid_plan_built_and_partitions_edges():
+    rowptr, col, vals = clustered_csr()
+    plan = build_hybrid_plan(rowptr, col, 1500)
+    assert isinstance(plan, HybridPlan)
+    assert plan.dense_fraction >= 0.3
+    # every edge appears exactly once across the two sub-plans
+    be = np.asarray(plan.bell.eperm)
+    ee = np.asarray(plan.ell.eperm)
+    ids = np.concatenate([be[be >= 0], ee[ee >= 0]])
+    np.testing.assert_array_equal(np.sort(ids), np.arange(len(col)))
+
+
+def test_hybrid_plan_none_on_sparse_graph():
+    rng = np.random.default_rng(1)
+    m = n = 3000
+    deg = np.full(m, 4, np.int64)
+    col = rng.integers(0, n, int(deg.sum())).astype(np.int32)
+    rowptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    assert build_hybrid_plan(rowptr, col, n) is None
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+@pytest.mark.parametrize("has_value", [True, False])
+def test_hybrid_forward_matches_oracle(reduce, has_value):
+    rowptr, col, vals = clustered_csr(seed=2)
+    sp = SparseTensor.from_csr(
+        jnp.asarray(rowptr), jnp.asarray(col),
+        jnp.asarray(vals) if has_value else None, sparse_sizes=(1500, 1500))
+    assert isinstance(sp.storage.ell_plan(), HybridPlan)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1500, 24)).astype(np.float32)
+    out = spmm(sp, jnp.asarray(x), reduce, Algorithm.PALLAS_ROW_TILE)
+    v = vals if has_value else np.ones(len(col), np.float32)
+    ref = spmm_oracle(rowptr, col, v, x, reduce)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_grads_match_xla():
+    rowptr, col, vals = clustered_csr(seed=4)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(1500, 1500))
+    assert isinstance(sp.storage.ell_plan(), HybridPlan)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1500, 16)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((1500, 16)).astype(np.float32))
+
+    def loss(v, d, alg):
+        return jnp.vdot(spmm(sp.set_values(v), d, "sum", alg), ct)
+
+    gh = jax.grad(lambda v, d: loss(v, d, Algorithm.PALLAS_ROW_TILE),
+                  argnums=(0, 1))(jnp.asarray(vals), x)
+    gx = jax.grad(lambda v, d: loss(v, d, Algorithm.XLA_SEGMENT),
+                  argnums=(0, 1))(jnp.asarray(vals), x)
+    for a, b in zip(gh, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_hybrid_maxmin_falls_back_correctly():
+    """MAX on a hybrid-planned tensor must not hit the ELL maxmin path."""
+    rowptr, col, vals = clustered_csr(seed=6)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(1500, 1500))
+    assert isinstance(sp.storage.ell_plan(), HybridPlan)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1500, 8)).astype(np.float32)
+    out = spmm(sp, jnp.asarray(x), "max", Algorithm.PALLAS_ROW_TILE)
+    ref = spmm_oracle(rowptr, col, vals, x, "max")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
