@@ -332,6 +332,18 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
     empty_rows = np.nonzero(deg == 0)[0]
     inv_row[empty_rows] = n_ne + np.arange(len(empty_rows), dtype=np.int32)
 
+    if n_ne == 0:
+        # Degenerate (no edges — e.g. the residue of a fully-dense hybrid
+        # split): one empty K=1 bucket keeps every consumer's concat/einsum
+        # well-formed; the recombination zeros block covers all rows.
+        return BucketedEllPlan(
+            cols=jnp.zeros((0,), jnp.int32),
+            eperm=jnp.full((0,), -1, jnp.int32),
+            rows=jnp.zeros((0,), jnp.int32),
+            inv_row=jnp.asarray(inv_row),
+            inv=jnp.zeros((nnz,), jnp.int32), ks=(1,), rbs=(0,),
+            num_rows=m, num_cols=num_cols, nnz=nnz)
+
     cols_l, eperms_l, ks, rbs = [], [], [], []
     inv = np.zeros(nnz, np.int32)
     flat_off = 0
