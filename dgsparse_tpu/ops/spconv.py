@@ -35,6 +35,8 @@ import numpy as np
 
 # test hook: force the compact ESC spconv path off-TPU
 _FORCE_ESC = [False]
+# fused Pallas kernel knob: None = auto (TPU + size gate), True/False force
+_FORCE_FUSED = [None]
 
 
 def _triple(x) -> Tuple[int, int, int]:
@@ -68,6 +70,13 @@ class SpConvPlan:
     # gather + ONE batched einsum + one ESC scatter per direction.
     plan_by_out: object      # EdgeTilePlan or None
     plan_by_in: object       # EdgeTilePlan or None
+    # Fused-kernel slot arrays (kernels/pallas_spconv.py): per slot of the
+    # by-out / by-in EdgeTilePlans, the source row to gather (input id /
+    # output id; -1 padding) and the pair's kernel-offset id.
+    fo_src: object           # [S_out] int32 or None
+    fo_widx: object          # [S_out] int32 or None
+    fi_src: object           # [S_in] int32 or None
+    fi_widx: object          # [S_in] int32 or None
     knnz: tuple              # static per-offset true pair counts
     kpos: tuple              # static exclusive scan of knnz
     qkpos: tuple             # static exclusive scan of quantized counts
@@ -79,7 +88,8 @@ class SpConvPlan:
 
     def tree_flatten(self):
         return (self.imap, self.omap, self.widx, self.o2i, self.i2o,
-                self.plan_by_out, self.plan_by_in), (
+                self.plan_by_out, self.plan_by_in, self.fo_src,
+                self.fo_widx, self.fi_src, self.fi_widx), (
             self.knnz, self.kpos, self.qkpos, self.num_out, self.num_in,
             self.k_vol, self.separate_mid, self.quant)
 
@@ -100,7 +110,28 @@ class SpConvPlan:
             return False
         if not (_FORCE_ESC[0] or jax.default_backend() == "tpu"):
             return False
-        return (self.total_pairs
+        return self.use_esc_structure()
+
+    def use_fused(self, c_in: int, c_out: int) -> bool:
+        """Fused Pallas pair-stream kernel (kernels/pallas_spconv.py) —
+        the TPU counterpart of the reference's FGMS fused tensor-core tier
+        (include/cuda/spconv.cuh:1097-1248). MEASURED SLOWER than the ESC
+        formulation on v5e (60K-voxel cloud, c=32: 48.9 vs 104.5 Mvox/s
+        fwd): the in-kernel k_vol× weight-stack projection is MXU-bound
+        while ESC's extra stream gather rides idle bandwidth. Kept as a
+        forceable tier (_FORCE_FUSED) — the trade may flip on parts with
+        faster MXUs relative to HBM."""
+        if _FORCE_FUSED[0] is not True:
+            return False
+        if self.fo_src is None or self.fi_src is None:
+            return False
+        kc = self.k_vol * max(c_in, c_out)
+        return kc <= 2048 and self.use_esc_structure()
+
+    def use_esc_structure(self) -> bool:
+        """Sparsity condition shared by the ESC and fused paths."""
+        return (self.plan_by_out is not None
+                and self.total_pairs
                 < 0.5 * (self.k_vol - (1 if self.separate_mid else 0))
                 * max(self.num_out, 1))
 
@@ -279,7 +310,9 @@ def _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz, separate_mid,
     total_pairs = int(kpos[-1])
     imap_q_np = np.concatenate(imap_q) if imap_q else np.empty(0, np.int32)
     omap_q_np = np.concatenate(omap_q) if omap_q else np.empty(0, np.int32)
+    widx_q_np = np.concatenate(widx_q) if widx_q else np.empty(0, np.int32)
     plan_by_out = plan_by_in = None
+    fo_src = fo_widx = fi_src = fi_widx = None
     if total_pairs:
         from dgsparse_tpu.core.planner import build_edge_tile_plan
 
@@ -296,6 +329,19 @@ def _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz, separate_mid,
         plan_by_out = pair_plan(omap_q_np[real], num_out)
         plan_by_in = pair_plan(imap_q_np[real], nnz)
 
+        # Fused-kernel slot arrays: compose plan slot -> Q-stream position
+        # -> (source row id, offset id), so the device step is ONE gather
+        # per direction (kernels/pallas_spconv.py).
+        def slot_arrays(plan, src_ids):
+            cols = np.asarray(jax.device_get(plan.cols))
+            valid = np.asarray(jax.device_get(plan.eperm)) >= 0
+            sid = np.where(valid, src_ids[cols], -1).astype(np.int32)
+            swidx = np.where(valid, widx_q_np[cols], 0).astype(np.int32)
+            return jnp.asarray(sid), jnp.asarray(swidx)
+
+        fo_src, fo_widx = slot_arrays(plan_by_out, imap_q_np)
+        fi_src, fi_widx = slot_arrays(plan_by_in, omap_q_np)
+
     return SpConvPlan(
         imap=jnp.asarray(np.concatenate(imap_q) if imap_q else
                          np.empty(0, np.int32)),
@@ -307,6 +353,10 @@ def _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz, separate_mid,
         i2o=jnp.asarray(i2o),
         plan_by_out=plan_by_out,
         plan_by_in=plan_by_in,
+        fo_src=fo_src,
+        fo_widx=fo_widx,
+        fi_src=fi_src,
+        fi_widx=fi_widx,
         knnz=tuple(int(k) for k in knnz),
         kpos=tuple(kpos),
         qkpos=tuple(qkpos),
@@ -369,7 +419,33 @@ def spconv(
 
 def _spconv_fwd_impl(features, kernel, plan):
     c_out = kernel.shape[-1]
+    c_in = kernel.shape[1]
     mid = (plan.k_vol - 1) // 2
+    if plan.use_fused(c_in, c_out):
+        # Fused weight-stationary pair-stream kernel (the reference's FGMS
+        # tensor-core tier, include/cuda/spconv.cuh:1097-1248): one gather
+        # of input rows in by-out slot order, then a single Pallas pass
+        # does projection + offset selection + VMEM-accumulated scatter —
+        # the pair stream never round-trips through HBM.
+        from dgsparse_tpu.kernels import pallas_spconv as kf
+
+        p = plan.plan_by_out
+        valid = (plan.fo_src >= 0)[:, None]
+        x_slot = jnp.where(
+            valid, jnp.take(features, jnp.maximum(plan.fo_src, 0), axis=0),
+            0).astype(features.dtype)
+        w_flat = jnp.transpose(kernel, (1, 0, 2)).reshape(
+            c_in, plan.k_vol * c_out)
+        exact = features.dtype == jnp.float32
+        out = kf.fused_pair_matmul(
+            x_slot, plan.fo_widx, p.lrow, p.tile_rb, w_flat,
+            plan.num_out, c_out, p.edge_tile, p.row_block, exact=exact)
+        out = out.astype(features.dtype)
+        if plan.separate_mid:
+            out = out + jnp.dot(features, kernel[mid],
+                                preferred_element_type=jnp.float32
+                                ).astype(features.dtype)
+        return out
     if plan.use_esc():
         # Sparse-cloud path: gather ONLY hit pairs (Q-padded rulebook
         # stream, ONE masked take), project all offsets in ONE batched
@@ -434,6 +510,53 @@ def _spconv_vjp_bwd(residuals, g):
     dX = sum_k d_H[k] W[k]^T, dW[k] = X^T d_H[k] — all dense MXU."""
     features, kernel, plan = residuals
     mid = (plan.k_vol - 1) // 2
+    c_in, c_out = kernel.shape[1], kernel.shape[2]
+    if plan.use_fused(c_in, c_out):
+        # Fused backward, mirroring the reference's W_transpose /
+        # I_transpose kernels (src/cuda/spconv_cuda.cu:223-251):
+        # dX runs the same fused kernel over the BY-IN pair ordering with
+        # the transposed weight stack; dW is one accumulator pass over the
+        # by-out stream (fused_pair_dw).
+        from dgsparse_tpu.kernels import pallas_spconv as kf
+
+        exact = features.dtype == jnp.float32
+        g = g.astype(features.dtype)
+        pin = plan.plan_by_in
+        valid_in = (plan.fi_src >= 0)[:, None]
+        g_slot = jnp.where(
+            valid_in, jnp.take(g, jnp.maximum(plan.fi_src, 0), axis=0), 0)
+        wt_flat = jnp.transpose(kernel, (2, 0, 1)).reshape(
+            c_out, plan.k_vol * c_in)
+        d_features = kf.fused_pair_matmul(
+            g_slot, plan.fi_widx, pin.lrow, pin.tile_rb, wt_flat,
+            plan.num_in, c_in, pin.edge_tile, pin.row_block,
+            exact=exact).astype(features.dtype)
+        if plan.separate_mid:
+            d_features = d_features + jnp.dot(
+                g, kernel[mid].T,
+                preferred_element_type=jnp.float32).astype(features.dtype)
+
+        pout = plan.plan_by_out
+        valid_out = (plan.fo_src >= 0)[:, None]
+        x_slot = jnp.where(
+            valid_out,
+            jnp.take(features, jnp.maximum(plan.fo_src, 0), axis=0), 0)
+        rows_slot = (jnp.repeat(pout.tile_rb, pout.edge_tile)
+                     * pout.row_block + pout.lrow)
+        g_out_slot = jnp.where(
+            valid_out,
+            jnp.take(g, jnp.minimum(rows_slot, plan.num_out - 1), axis=0),
+            0)
+        d_kernel = kf.fused_pair_dw(
+            x_slot, g_out_slot, plan.fo_widx, plan.k_vol, pout.edge_tile,
+            exact=exact).astype(kernel.dtype)
+        if plan.separate_mid:
+            d_kernel = d_kernel.at[mid].add(jnp.dot(
+                features.T, g,
+                preferred_element_type=jnp.float32).astype(kernel.dtype))
+        d_plan = jax.tree.map(
+            lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), plan)
+        return d_features, d_kernel, d_plan
     if plan.use_esc():
         # Mirror of the fused forward: d_stream is a pure masked gather of
         # g by the Q-padded out ids; dW via ONE batched einsum (per-offset
