@@ -129,14 +129,13 @@ def _round_up(x: int, m: int) -> int:
 
 def _ell_recombine(plan, concat: jax.Array) -> jax.Array:
     """[concat_rows, F] bucket-order outputs -> [M, F] original order.
-    Appends a zeros block for the empty rows (excluded from the plan
-    layout) so the inv_row gather is a true permutation."""
-    n_empty = plan.num_rows - concat.shape[0]
-    if n_empty:
-        concat = jnp.concatenate(
-            [concat, jnp.zeros((n_empty, concat.shape[-1]), concat.dtype)],
-            axis=0)
-    return jnp.take(concat, plan.inv_row, axis=0)
+    Empty rows (excluded from the plan layout) read as fill-value zeros:
+    their inv_row entries point past the concat and the out-of-range
+    gather fills 0 — measured 22 us cheaper than materializing + gathering
+    a zeros block on p2p (62.6K rows)."""
+    if concat.shape[0] == 0:     # all rows empty (e.g. hybrid's residue)
+        return jnp.zeros((plan.num_rows, concat.shape[-1]), concat.dtype)
+    return jnp.take(concat, plan.inv_row, axis=0, mode="fill", fill_value=0)
 
 
 def spmm_ell(
@@ -145,22 +144,31 @@ def spmm_ell(
     dense: jax.Array,
     reduce: ReduceOp = ReduceOp.SUM,
     degrees: Optional[jax.Array] = None,
+    w_slot: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Row-balance ELL SpMM (Algorithm.PALLAS_ROW_TILE): gather + masked
     K-step weighted sum — no segment reduction at all. XLA formulation (the
     gather dominates; the sum fuses into its consumer loop). For
     degree-regular graphs this beats the ESC one-hot path by skipping the
     MXU segment matmul; the reference's seqreduce row-balance analog
-    (include/cuda/spmm_cuda.cuh:10-55)."""
+    (include/cuda/spmm_cuda.cuh:10-55).
+
+    w_slot: plan-slot-ordered values (padding 0), precomputed on Storage —
+    skips the [nnz_padded] 1-D value gather (measured ~200 us of the p2p
+    headline time; the analog of the reference caching CSC values at
+    construction, dgsparse/storage.py:100)."""
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_ell handles SUM/MEAN only")
     m, k = plan.cols.shape
     gathered = jnp.take(dense, plan.cols.reshape(-1), axis=0)
     gathered = gathered.reshape(m, k, dense.shape[-1])
-    w = plan.vals_mask
-    if values is not None:
-        safe = jnp.maximum(plan.eperm, 0).reshape(-1)
-        w = w * jnp.take(values, safe).reshape(m, k).astype(w.dtype)
+    if w_slot is not None:
+        w = w_slot.reshape(m, k)
+    else:
+        w = plan.vals_mask
+        if values is not None:
+            safe = jnp.maximum(plan.eperm, 0).reshape(-1)
+            w = w * jnp.take(values, safe).reshape(m, k).astype(w.dtype)
     out = jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype), gathered)
     if reduce == ReduceOp.MEAN:
         if degrees is None:
@@ -223,21 +231,28 @@ def spmm_bucketed_ell(
     dense: jax.Array,
     reduce: ReduceOp = ReduceOp.SUM,
     degrees: Optional[jax.Array] = None,
+    w_slot: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Degree-bucketed row-balance SpMM: per pow2-degree bucket, gather +
     masked K-step sum (no segment reduction); bucket outputs concatenate in
-    bucket order and one row gather restores the original order."""
+    bucket order and one row gather restores the original order. w_slot:
+    see spmm_ell."""
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_bucketed_ell handles SUM/MEAN only")
     outs = []
+    o2 = 0
     for cols, mask, eperm, _rows, _k in plan.bucket_views():
         rb, k = cols.shape
         gathered = jnp.take(dense, cols.reshape(-1), axis=0)
         gathered = gathered.reshape(rb, k, dense.shape[-1])
-        w = mask
-        if values is not None:
-            safe = jnp.maximum(eperm, 0).reshape(-1)
-            w = w * jnp.take(values, safe).reshape(rb, k).astype(w.dtype)
+        if w_slot is not None:
+            w = jax.lax.slice(w_slot, (o2,), (o2 + rb * k,)).reshape(rb, k)
+        else:
+            w = mask
+            if values is not None:
+                safe = jnp.maximum(eperm, 0).reshape(-1)
+                w = w * jnp.take(values, safe).reshape(rb, k).astype(w.dtype)
+        o2 += rb * k
         outs.append(jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype),
                                gathered))
     out = _ell_recombine(plan, jnp.concatenate(outs, axis=0))
@@ -255,16 +270,19 @@ def spmm_hybrid(
     reduce: ReduceOp = ReduceOp.SUM,
     degrees: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    w_slot=None,               # (bell_w, ell_w) or None
 ) -> jax.Array:
     """Dense cells on the BELL MXU kernel + residue on bucketed ELL; the
     two parts are row-partitioned sums, so out = bell + ell. MEAN divides
     once at the end (both parts run as SUM)."""
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_hybrid handles SUM/MEAN only")
+    bw, ew = w_slot if w_slot is not None else (None, None)
     out = spmm_bell(plan.bell, values, dense, ReduceOp.SUM,
-                    compute_dtype=compute_dtype).astype(jnp.float32)
-    out = out + spmm_bucketed_ell(plan.ell, values, dense,
-                                  ReduceOp.SUM).astype(jnp.float32)
+                    compute_dtype=compute_dtype,
+                    w_slot=bw).astype(jnp.float32)
+    out = out + spmm_bucketed_ell(plan.ell, values, dense, ReduceOp.SUM,
+                                  w_slot=ew).astype(jnp.float32)
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
@@ -323,11 +341,12 @@ def spmm_bell(
     reduce: ReduceOp = ReduceOp.SUM,
     degrees: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    w_slot: Optional[jax.Array] = None,
 ) -> jax.Array:
     """BELL SpMM: no gather/scatter anywhere — both sides are one-hot MXU
     matmuls over (row-block x column-window) tiles. compute_dtype=bfloat16
     halves the MXU time (one-hots are exact in bf16; accumulation stays
-    fp32)."""
+    fp32). w_slot: see spmm_ell."""
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_bell handles SUM/MEAN only")
     f = dense.shape[-1]
@@ -339,11 +358,12 @@ def spmm_bell(
         dense = jnp.pad(dense, ((0, n_pad - dense.shape[0]), (0, 0)))
 
     valid = plan.eperm >= 0
-    safe_perm = jnp.maximum(plan.eperm, 0)
-    if values is not None:
-        v = jnp.take(values, safe_perm)
+    if w_slot is not None:
+        v = w_slot
+    elif values is not None:
+        v = jnp.take(values, jnp.maximum(plan.eperm, 0))
     else:
-        v = jnp.ones_like(safe_perm, dtype=jnp.float32)
+        v = jnp.ones_like(plan.eperm, dtype=jnp.float32)
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
@@ -352,7 +372,9 @@ def spmm_bell(
         deg = jnp.take(jnp.maximum(degrees, 1),
                        jnp.minimum(rows, plan.num_rows - 1))
         v = v / deg.astype(v.dtype)
-    v = jnp.where(valid, v, 0).astype(jnp.float32)
+    if w_slot is None or reduce == ReduceOp.MEAN:
+        v = jnp.where(valid, v, 0)
+    v = v.astype(jnp.float32)
 
     kernel = functools.partial(_bell_kernel, plan.row_block, plan.edge_tile,
                                plan.col_window, compute_dtype)
@@ -399,11 +421,14 @@ def spmm_esc(
     dense: jax.Array,              # [N, F]
     reduce: ReduceOp = ReduceOp.SUM,
     degrees: Optional[jax.Array] = None,
+    w_slot: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """ESC SpMM forward: XLA fused gather+scale, Pallas segment matmul."""
+    """ESC SpMM forward: XLA fused gather+scale, Pallas segment matmul.
+    w_slot: see spmm_ell."""
     from dgsparse_tpu.ops.types import ComputeOp
 
-    return gspmm_esc(plan, values, dense, reduce, ComputeOp.MUL, degrees)
+    return gspmm_esc(plan, values, dense, reduce, ComputeOp.MUL, degrees,
+                     w_slot=w_slot)
 
 
 def gspmm_esc(
@@ -413,6 +438,7 @@ def gspmm_esc(
     reduce: ReduceOp = ReduceOp.SUM,
     compute=None,
     degrees: Optional[jax.Array] = None,
+    w_slot: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Generalized-semiring ESC: contrib = compute(edge, feat[col]) computed
     in one fused XLA pass over the plan slots (padding slots forced to 0),
@@ -433,16 +459,21 @@ def gspmm_esc(
     if f_pad != f:
         dense = jnp.pad(dense, ((0, 0), (0, f_pad - f)))
 
-    valid = plan.eperm >= 0
-    safe_perm = jnp.maximum(plan.eperm, 0)
     feats = jnp.take(dense, plan.cols, axis=0)           # [T*E, F]
-    if values is None:
+    if w_slot is not None and compute == ComputeOp.MUL:
+        # plan-slot-cached values (padding 0): no value gather, no
+        # validity mask needed for the multiplicative semiring
+        contrib = feats * w_slot[:, None].astype(feats.dtype)
+        mask_needed = False
+    elif values is None:
         contrib = feats
+        mask_needed = True
         if compute != ComputeOp.MUL:
             raise ValueError("copy_u requires compute == MUL semantics")
     else:
-        v = jnp.take(values, safe_perm).astype(feats.dtype)
+        v = jnp.take(values, jnp.maximum(plan.eperm, 0)).astype(feats.dtype)
         contrib = combine(compute, v, feats)
+        mask_needed = True
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
@@ -451,7 +482,8 @@ def gspmm_esc(
         deg = jnp.take(jnp.maximum(degrees, 1),
                        jnp.minimum(rows, plan.num_rows - 1))
         contrib = contrib / deg.astype(contrib.dtype)[:, None]
-    contrib = jnp.where(valid[:, None], contrib, 0)
+    if mask_needed:
+        contrib = jnp.where((plan.eperm >= 0)[:, None], contrib, 0)
 
     out = segment_matmul(
         contrib, plan.lrow, plan.tile_rb,
@@ -519,7 +551,7 @@ def _ell_buckets(plan):
     return [(plan.cols, plan.vals_mask, plan.eperm, None, plan.k)], None
 
 
-def spmm_ell_maxmin(plan, values, dense, reduce, compute=None):
+def spmm_ell_maxmin(plan, values, dense, reduce, compute=None, w_slot=None):
     """MAX/MIN SpMM on the ELL row-balance layout: masked K-axis reduce —
     no segmented scan, no segment reduction (the winner search is a plain
     vectorized argmax per row). Replaces the reference's masked max/min
@@ -539,17 +571,25 @@ def spmm_ell_maxmin(plan, values, dense, reduce, compute=None):
     fill = -big if is_max else big
     buckets, inv_row = _ell_buckets(plan)
     outs, args = [], []
+    o2 = 0
     for cols, mask, eperm, _rows, k in buckets:
         rb = cols.shape[0]
         feats = jnp.take(dense, cols.reshape(-1),
                          axis=0).astype(jnp.float32)
         feats = feats.reshape(rb, k, -1)
-        if values is not None:
+        if w_slot is not None:
+            # cached slot values (invalid slots are overridden by `fill`
+            # below, so their 0 placeholder is harmless)
+            v = jax.lax.slice(w_slot, (o2,), (o2 + rb * k,))
+            contrib = combine(compute, v.reshape(rb, k, 1).astype(
+                jnp.float32), feats)
+        elif values is not None:
             v = jnp.take(values, jnp.maximum(eperm, 0).reshape(-1))
             contrib = combine(compute, v.reshape(rb, k, 1).astype(
                 jnp.float32), feats)
         else:
             contrib = feats
+        o2 += rb * k
         valid = (mask > 0)[:, :, None]
         contrib = jnp.where(valid, contrib, fill)
         out_b = contrib.max(axis=1) if is_max else contrib.min(axis=1)

@@ -39,12 +39,14 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                   idx, values, dense):
     """Dispatch the forward kernel. idx = (rowptr, col, coo_row, colptr,
     row_csc, perm, plan_fwd, plan_bwd, bell_fwd, bell_bwd, ell_fwd,
-    csc_col)."""
+    csc_col, vslot). vslot (dict or None) carries plan-slot-cached values
+    (core/formats.py _build_vslot) — skips the per-call 1-D value gather."""
     (rowptr, col, coo_row, _, _, _, plan_fwd, _, bell_fwd, _,
-     ell_fwd, _) = idx
+     ell_fwd, _, vslot) = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
+    vslot = vslot if has_value else None
 
     algorithm = _resolve_algorithm(algorithm, plan_fwd, bell_fwd,
                                    col.shape[0], reduce, ell_fwd)
@@ -53,18 +55,23 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
         from dgsparse_tpu.core.planner import BucketedEllPlan, HybridPlan
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
+        w = vslot["ell"] if vslot is not None else None
         if isinstance(ell_fwd, HybridPlan):
-            out = kp.spmm_hybrid(ell_fwd, vals, dense, reduce, degrees)
+            out = kp.spmm_hybrid(ell_fwd, vals, dense, reduce, degrees,
+                                 w_slot=w)
         elif isinstance(ell_fwd, BucketedEllPlan):
-            out = kp.spmm_bucketed_ell(ell_fwd, vals, dense, reduce, degrees)
+            out = kp.spmm_bucketed_ell(ell_fwd, vals, dense, reduce,
+                                       degrees, w_slot=w)
         else:
-            out = kp.spmm_ell(ell_fwd, vals, dense, reduce, degrees)
+            out = kp.spmm_ell(ell_fwd, vals, dense, reduce, degrees,
+                              w_slot=w)
         return out.astype(dense.dtype), None
     if algorithm == Algorithm.PALLAS_BELL and bell_fwd is not None \
             and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
-        out = kp.spmm_bell(bell_fwd, vals, dense, reduce, degrees)
+        out = kp.spmm_bell(bell_fwd, vals, dense, reduce, degrees,
+                           w_slot=vslot["bell"] if vslot else None)
         return out.astype(dense.dtype), None
     if algorithm in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE,
                      Algorithm.PALLAS_BELL):
@@ -84,7 +91,10 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                 from dgsparse_tpu.kernels.pallas_spmm import \
                     spmm_ell_maxmin
 
-                return spmm_ell_maxmin(ell_fwd, vals, dense, reduce)
+                w = (vslot["ell"] if vslot is not None
+                     and not isinstance(vslot["ell"], tuple) else None)
+                return spmm_ell_maxmin(ell_fwd, vals, dense, reduce,
+                                       w_slot=w)
             if plan_fwd.padded_edges >= 2 ** 24:
                 # the ESC max/min kernel carries global slot ids in f32,
                 # exact only below 2^24 — fall back to XLA beyond that
@@ -96,7 +106,8 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
             return spmm_maxmin_esc(plan_fwd, vals, dense, reduce)
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
-        return kp.spmm_esc(plan_fwd, vals, dense, reduce, degrees), None
+        return kp.spmm_esc(plan_fwd, vals, dense, reduce, degrees,
+                           w_slot=vslot["esc"] if vslot else None), None
     return kx.spmm_forward(coo_row, col, vals, dense, num_rows, reduce,
                            degrees)
 
@@ -152,9 +163,10 @@ def _spmm_fwd(reduce, algorithm, has_value, idx, values, dense):
 def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
     idx, values, dense, arg_edge = residuals
     (rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd,
-     bell_fwd, bell_bwd, ell_fwd, csc_col) = idx
+     bell_fwd, bell_bwd, ell_fwd, csc_col, vslot) = idx
     num_rows = rowptr.shape[0] - 1
     nnz = col.shape[0]
+    vslot = vslot if has_value else None
 
     if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
         if reduce == ReduceOp.MEAN:
@@ -174,19 +186,32 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
         if alg == Algorithm.PALLAS_BELL and bell_bwd is not None:
             from dgsparse_tpu.kernels import pallas_spmm as kp
 
-            vals_t = jnp.take(values, perm) if has_value else None
-            d_dense = kp.spmm_bell(bell_bwd, vals_t, g).astype(dense.dtype)
+            if vslot is not None:
+                d_dense = kp.spmm_bell(
+                    bell_bwd, None, g,
+                    w_slot=vslot["bell_t"]).astype(dense.dtype)
+            else:
+                vals_t = jnp.take(values, perm) if has_value else None
+                d_dense = kp.spmm_bell(bell_bwd, vals_t,
+                                       g).astype(dense.dtype)
         elif alg in (Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_EDGE_TILE,
                      Algorithm.PALLAS_BELL) and plan_bwd is not None:
             from dgsparse_tpu.kernels import pallas_spmm as kp
 
-            vals_t = jnp.take(values, perm) if has_value else None
-            d_dense = kp.spmm_esc(plan_bwd, vals_t, g).astype(dense.dtype)
+            if vslot is not None:
+                d_dense = kp.spmm_esc(
+                    plan_bwd, None, g,
+                    w_slot=vslot["esc_t"]).astype(dense.dtype)
+            else:
+                vals_t = jnp.take(values, perm) if has_value else None
+                d_dense = kp.spmm_esc(plan_bwd, vals_t,
+                                      g).astype(dense.dtype)
         else:
             contrib = jnp.take(g, row_csc, axis=0)
             if has_value:
-                contrib = contrib * jnp.take(values, perm)[:, None].astype(
-                    g.dtype)
+                vals_csc = (vslot["csc"] if vslot is not None
+                            else jnp.take(values, perm))
+                contrib = contrib * vals_csc[:, None].astype(g.dtype)
             d_dense = jax.ops.segment_sum(
                 contrib, csc_col, num_segments=dense.shape[0],
                 indices_are_sorted=True,
@@ -345,11 +370,15 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
                                  int(dense.shape[-1]), reduce)
         if tuned is not None:
             algorithm = tuned
+    values = sparse.values_or_ones()
+    # slot caches are only valid for the exact values array the Storage was
+    # built with (identity check — set_values/tracers rebuild or clear them)
+    vslot = st.vslot() if (sparse.has_value
+                           and values is st.values()) else None
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True),
            st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan(),
-           st.csc_col())
-    values = sparse.values_or_ones()
+           st.csc_col(), vslot)
     return _spmm(reduce, algorithm, sparse.has_value, idx, values, dense)
 
 

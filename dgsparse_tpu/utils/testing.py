@@ -125,3 +125,45 @@ def load_mtx(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, 
         np.asarray(mat.data, np.float32),
         (int(mat.shape[0]), int(mat.shape[1])),
     )
+
+
+def collective_volumes(fn, *args) -> dict:
+    """Trace fn(*args) and sum the element counts moved by each collective
+    primitive (ppermute / all_gather / psum / psum_scatter / all_to_all /
+    reduce_scatter), recursing into sub-jaxprs (shard_map, jit, scan...).
+    Counts are PER-DEVICE sends: inside shard_map the avals are
+    shard-local, so an all_gather of [N/D, F] counts N/D * F.
+
+    Used by the distributed tests to assert communication stays
+    O(boundary) — e.g. a halo exchange whose volume silently grows to
+    O(volume) still produces correct numbers, so only a volume assertion
+    catches the regression.
+    """
+    import jax
+
+    names = {"ppermute", "all_gather", "psum", "psum_scatter",
+             "all_to_all", "reduce_scatter", "all_gather_invariant"}
+    totals: dict = {}
+
+    def walk(jaxpr):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name in names:
+                n = sum(int(np.prod(v.aval.shape))
+                        for v in eqn.invars if hasattr(v, "aval")
+                        and hasattr(v.aval, "shape"))
+                totals[eqn.primitive.name] = totals.get(
+                    eqn.primitive.name, 0) + n
+            for v in eqn.params.values():
+                if isinstance(v, jax.extend.core.ClosedJaxpr):
+                    walk(v.jaxpr)
+                elif isinstance(v, jax.extend.core.Jaxpr):
+                    walk(v)
+                elif isinstance(v, (tuple, list)):
+                    for item in v:
+                        if isinstance(item, jax.extend.core.ClosedJaxpr):
+                            walk(item.jaxpr)
+                        elif isinstance(item, jax.extend.core.Jaxpr):
+                            walk(item)
+
+    walk(jax.make_jaxpr(fn)(*args).jaxpr)
+    return totals

@@ -402,3 +402,100 @@ def test_sharded_spconv_rejects_thin_slabs():
         shard_pointcloud(coords, 4, 7, spatial_shape=shape)
     # kernel 3 (r=1) over the same slabs is fine
     shard_pointcloud(coords, 4, 3, spatial_shape=shape)
+
+
+# --- collective-volume assertions (regressions here stay numerically
+# correct, so only tracing the jaxpr catches them) ---
+
+
+def test_spconv_halo_volume_is_boundary_sized():
+    """ppermute traffic must be O(boundary voxels), not O(volume)."""
+    from dgsparse_tpu.dist.spconv import shard_pointcloud, spconv_sharded
+    from dgsparse_tpu.utils.testing import collective_volumes
+
+    rng = np.random.default_rng(71)
+    n, shape = 4000, (48, 24, 16)
+    coords = np.unique(np.stack([
+        np.zeros(n, np.int64),
+        rng.integers(0, shape[0], n), rng.integers(0, shape[1], n),
+        rng.integers(0, shape[2], n)], 1), axis=0).astype(np.int32)
+    c = 6
+    mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    plan, order = shard_pointcloud(coords, 4, 3, spatial_shape=shape)
+    feats = rng.standard_normal((len(coords), c)).astype(np.float32)
+    xb = plan.to_block_layout(jnp.asarray(feats[order]))
+    xd = jax.device_put(xb, NamedSharding(mesh, P("graph")))
+    kernel = jnp.asarray(
+        rng.standard_normal((27, c, c)).astype(np.float32))
+
+    vols = collective_volumes(
+        lambda x: spconv_sharded(plan, x, kernel, mesh), xd)
+    # two ppermutes of [h_max, C] per shard (left + right halo)
+    assert vols.get("ppermute", 0) == 2 * plan.h_max * c
+    # the halo is a boundary: kernel radius 1 over ~48 x-planes on 4
+    # shards -> h_max is one plane's worth, far below the slab volume
+    assert plan.h_max < 0.35 * plan.own_max
+    # and nothing all_gathers the full cloud
+    assert vols.get("all_gather", 0) == 0
+
+
+def test_spmm_2d_mesh_divides_gather_volume():
+    """The 2-D (graph x feat) mesh must all_gather 1/feat_axis of the 1-D
+    mesh's volume per device (same total bytes, split across feat)."""
+    from dgsparse_tpu.dist.shard import spmm_sharded_2d
+    from dgsparse_tpu.utils.testing import collective_volumes
+
+    sp, rowptr, col, values, dense = _make5(97, 83, 16, seed=23)
+    adj = shard_csr(sp, 4)
+    x1 = pad_nodes(jnp.asarray(dense), 4)
+
+    mesh1 = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    x1d = jax.device_put(x1, NamedSharding(mesh1, P("graph")))
+    v1 = collective_volumes(
+        lambda x: spmm_sharded(adj, x, mesh1), x1d)
+
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                 ("graph", "feat"))
+    x2d = jax.device_put(x1, NamedSharding(mesh2, P("graph", "feat")))
+    v2 = collective_volumes(
+        lambda x: spmm_sharded_2d(adj, x, mesh2), x2d)
+
+    # per-device gather volume halves on the feat=2 axis
+    assert v2["all_gather"] * 2 == v1["all_gather"], (v1, v2)
+
+
+def test_sharded_gat_gathers_only_projected_features():
+    """The sharded GAT forward may all_gather the projected [N, H, F]
+    features and the [N, H] source scores — gathering raw inputs or edge
+    tensors would blow the volume."""
+    from dgsparse_tpu.dist import gat as dgat
+    from dgsparse_tpu.utils.testing import collective_volumes
+
+    rng = np.random.default_rng(30)
+    m, h, f = 96, 2, 8
+    rowptr, col, _ = random_csr(m, m, avg_degree=5.0, seed=31)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               None, sparse_sizes=(m, m))
+    adj = shard_csr(sp, 4)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("graph",))
+    hd = jax.device_put(
+        pad_nodes(jnp.asarray(
+            rng.standard_normal((m, h, f)).astype(np.float32)), 4),
+        NamedSharding(mesh, P("graph")))
+    sd = jax.device_put(
+        pad_nodes(jnp.asarray(
+            rng.standard_normal((m, h)).astype(np.float32)), 4),
+        NamedSharding(mesh, P("graph")))
+    ss = jax.device_put(
+        pad_nodes(jnp.asarray(
+            rng.standard_normal((m, h)).astype(np.float32)), 4),
+        NamedSharding(mesh, P("graph")))
+
+    vols = collective_volumes(
+        lambda a, b, c: dgat.gat_aggregate_sharded(adj, a, b, c, mesh),
+        hd, sd, ss)
+    # volumes are per-device sends (shard-local avals inside shard_map):
+    # one [n/D, H, F] feature gather + one [n/D, H] source-score gather
+    shard_n = hd.shape[0] // 4
+    expected = shard_n * h * f + shard_n * h
+    assert vols.get("all_gather", 0) == expected, vols
