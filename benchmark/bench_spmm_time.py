@@ -1,14 +1,21 @@
-"""Forward+backward SpMM wall-time sweep.
+"""SpMM benchmark sweep: schedules x graphs x feature widths x reductions.
 
 Mirror of the reference harness (benchmark/bench_spmm_time.py: {datasets} x
 feat {32,64,128} x reduce {sum,max,min,mean}, forward and forward+backward
-timings), on synthetic graphs sized like the reference's datasets plus the
-bundled .mtx graphs when present.
+timings) plus the reference's published per-algorithm table
+(example/README.md:47-60), on the bundled p2p-Gnutella31.mtx, ref-shaped
+synthetic graphs, and an ogbn-arxiv-scale graph.
 
-Run: python benchmark/bench_spmm_time.py [--quick]
+Timing is two-point on-device with array-carry (utils/bench.py
+time_pytree_2pt): the tunnel's fixed dispatch latency cancels, and the
+cotangent is a carried input so the (linear) backward cannot be hoisted
+out of the timing loop.
+
+Run: python benchmark/bench_spmm_time.py [--quick] [--out results.json]
 """
 
 import argparse
+import json
 import os
 import sys
 
@@ -16,14 +23,42 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dgsparse_tpu.utils.cache import enable as _enable_cache
+
+_enable_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
 DATASETS = {
-    # name: (nodes, avg_degree)  — shaped like cora/citeseer/pubmed/ppi
-    "cora-like": (2708, 4.0),
-    "citeseer-like": (3327, 2.8),
-    "pubmed-like": (19717, 4.5),
-    "ppi-like": (44906, 15.0),
+    # name: (nodes, avg_degree, skew)  — cora/citeseer/pubmed/ppi-shaped
+    "cora-like": (2708, 4.0, 1.0),
+    "citeseer-like": (3327, 2.8, 1.0),
+    "pubmed-like": (19717, 4.5, 1.0),
+    "ppi-like": (44906, 15.0, 1.0),
+    "arxiv-scale": (169343, 6.9, 1.3),
 }
 MTX = "/root/reference/example/data/p2p-Gnutella31.mtx"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def available_algorithms(sp):
+    from dgsparse_tpu import Algorithm
+
+    st = sp.storage
+    on_tpu = jax.default_backend() == "tpu"
+    algs = [Algorithm.XLA_SEGMENT]
+    if st.plan() is not None and on_tpu:
+        # EDGE_TILE/BELL compile Pallas kernels (interpret-only on CPU)
+        algs.append(Algorithm.PALLAS_EDGE_TILE)
+    if st.ell_plan() is not None:
+        algs.append(Algorithm.PALLAS_ROW_TILE)
+    if st.bell_plan() is not None and on_tpu:
+        algs.append(Algorithm.PALLAS_BELL)
+    return algs
 
 
 def main():
@@ -31,20 +66,30 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--feats", default="32,64,128")
     ap.add_argument("--reduces", default="sum,max,min,mean")
+    ap.add_argument("--graphs", default=None,
+                    help="comma list; default = all")
+    ap.add_argument("--out", default=None, help="write JSON rows here")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
     from dgsparse_tpu import SparseTensor, spmm
-    from dgsparse_tpu.utils.bench import spmm_gflops, time_on_device
+    from dgsparse_tpu.utils.bench import spmm_gflops, time_pytree_2pt
     from dgsparse_tpu.utils.testing import load_mtx, random_csr
 
+    if jax.default_backend() != "tpu":
+        # CPU smoke runs: Pallas kernels only exist in interpret mode there
+        from dgsparse_tpu.kernels import pallas_spmm as _kp
+
+        _kp.set_interpret(True)
+
     graphs = {}
-    for name, (n, deg) in DATASETS.items():
-        rowptr, col, vals = random_csr(n, n, avg_degree=deg, seed=hash(name) % 97)
+    for name, (n, deg, skew) in DATASETS.items():
+        if args.graphs and name not in args.graphs.split(","):
+            continue
+        rowptr, col, vals = random_csr(n, n, avg_degree=deg,
+                                       seed=hash(name) % 97, skew=skew)
         graphs[name] = (rowptr, col, vals, n)
-    if os.path.exists(MTX) and not args.quick:
+    if os.path.exists(MTX) and (not args.graphs
+                                or "p2p" in args.graphs):
         rowptr, col, vals, (m, _) = load_mtx(MTX)
         graphs["p2p-Gnutella31"] = (rowptr, col, vals, m)
 
@@ -53,31 +98,49 @@ def main():
     if args.quick:
         graphs = dict(list(graphs.items())[:1])
         feats, reduces = feats[:1], reduces[:2]
+    iters = (10, 50) if args.quick else (20, 100)
 
-    print(f"backend={jax.default_backend()}")
-    print(f"{'dataset':16s} {'feat':>5s} {'reduce':>6s} "
+    rows = []
+    backend = jax.default_backend()
+    log(f"backend={backend}")
+    print(f"{'dataset':16s} {'alg':>10s} {'feat':>5s} {'reduce':>6s} "
           f"{'fwd_us':>9s} {'fwd_GF/s':>9s} {'fwd+bwd_us':>11s}")
     for name, (rowptr, col, vals, n) in graphs.items():
         sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
                                    jnp.asarray(vals), sparse_sizes=(n, n))
         nnz = len(col)
+        rng = np.random.default_rng(0)
         for feat in feats:
-            x = jnp.asarray(np.random.default_rng(0)
-                            .standard_normal((n, feat)).astype(np.float32))
-            for reduce in reduces:
-                iters = 20 if args.quick else 50
-                t_f = time_on_device(
-                    lambda s, x_: spmm(sp, x_ * s, reduce), x, iters=iters)
+            x = jnp.asarray(rng.standard_normal((n, feat))
+                            .astype(np.float32))
+            ct = jnp.asarray(rng.standard_normal((n, feat))
+                             .astype(np.float32))
+            for alg in available_algorithms(sp):
+                for reduce in reduces:
+                    t_f = time_pytree_2pt(
+                        lambda x_: spmm(sp, x_, reduce, alg), (x,),
+                        iters=iters, repeats=1)
 
-                def loss(x_, reduce=reduce):
-                    return spmm(sp, x_, reduce).sum()
+                    def fwdbwd(x_, ct_, reduce=reduce, alg=alg):
+                        return jax.grad(lambda a: jnp.vdot(
+                            spmm(sp, a, reduce, alg), ct_))(x_)
 
-                grad = jax.grad(loss)
-                t_fb = time_on_device(lambda s, x_: grad(x_ * s), x,
-                                      iters=iters)
-                print(f"{name:16s} {feat:5d} {reduce:>6s} "
-                      f"{t_f * 1e6:9.1f} {spmm_gflops(nnz, feat, t_f):9.2f} "
-                      f"{t_fb * 1e6:11.1f}")
+                    t_fb = time_pytree_2pt(fwdbwd, (x, ct), iters=iters,
+                                           repeats=1)
+                    gf = spmm_gflops(nnz, feat, t_f)
+                    print(f"{name:16s} {alg.name:>10s} {feat:5d} "
+                          f"{reduce:>6s} {t_f * 1e6:9.1f} {gf:9.2f} "
+                          f"{t_fb * 1e6:11.1f}", flush=True)
+                    rows.append({
+                        "dataset": name, "alg": alg.name, "nnz": nnz,
+                        "feat": feat, "reduce": reduce, "backend": backend,
+                        "fwd_us": round(t_f * 1e6, 1),
+                        "fwd_gflops": round(gf, 2),
+                        "fwdbwd_us": round(t_fb * 1e6, 1),
+                    })
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -75,3 +75,31 @@ def test_tune_spmm():
     assert all(t >= 0 for t in times.values())
     rep = tune_report(sp, feats=(8,), reduce="sum")
     assert "best=" in rep
+
+
+def test_metrics_records_dispatch_decisions():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgsparse_tpu import Algorithm, SparseTensor, spmm
+    from dgsparse_tpu.utils import metrics
+    from dgsparse_tpu.utils.testing import random_csr
+
+    rowptr, col, vals = random_csr(64, 64, avg_degree=3.0, seed=1)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(64, 64))
+    x = jnp.asarray(np.ones((64, 8), np.float32))
+    metrics.reset()
+    metrics.enable()
+    try:
+        spmm(sp, x, "sum", Algorithm.XLA_SEGMENT)
+        spmm(sp, x, "sum", Algorithm.XLA_SEGMENT)
+    finally:
+        metrics.disable()
+    cs = metrics.counters()
+    keys = [k for k in cs if k[0] == "spmm"]
+    assert keys and cs[keys[0]] == 2
+    assert "XLA_SEGMENT" in str(keys[0])
+    assert "spmm" in metrics.summary()
+    metrics.reset()
+    assert metrics.counters() == {}
