@@ -171,21 +171,26 @@ class Storage:
         # build_plans=False skips all Pallas plan construction: ops run on
         # the XLA segment paths with only CSR+CSC resident (~half the device
         # memory per edge — the Reddit-scale lever; plans cost ~21 B/edge).
+        # build_plans="ell" keeps only the ELL/bucketed/hybrid forward plan
+        # (~9 B/edge): the scale path for 100M-edge graphs where the ESC
+        # plans (fwd+bwd, ~24 B/edge) would crowd out HBM.
         if build_plans and concrete and nnz > 0:
             from dgsparse_tpu.core.planner import (build_bell_plan,
                                                    build_edge_tile_plan,
                                                    build_ell_plan)
 
+            ell_only = build_plans == "ell"
             colptr_np = np.asarray(jax.device_get(self._colptr))
             row_csc_np = np.asarray(jax.device_get(self._row_csc))
             # sort_cols=False keeps plan slots in CSR (row-major) order so
             # one plan serves sum/mean (order-independent one-hot) AND
             # max/min (segmented scan needs contiguous row segments);
             # measured: XLA row-gather cost is index-order-agnostic.
-            self._plan_fwd = build_edge_tile_plan(
-                rowptr_np, col_np, num_cols, sort_cols=False)
-            self._plan_bwd = build_edge_tile_plan(
-                colptr_np, row_csc_np, num_rows, sort_cols=False)
+            if not ell_only:
+                self._plan_fwd = build_edge_tile_plan(
+                    rowptr_np, col_np, num_cols, sort_cols=False)
+                self._plan_bwd = build_edge_tile_plan(
+                    colptr_np, row_csc_np, num_rows, sort_cols=False)
             # ELL row-balance plans (skip the segment reduction entirely):
             # single-K for degree-regular structures, degree-bucketed
             # otherwise (bounded padding even on power-law graphs).
@@ -214,7 +219,7 @@ class Storage:
                             self._ell_fwd = bek
             # BELL 2D plans only pay off when cells genuinely fill (measured:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.
-            if nnz >= 4096 and nnz / max(num_rows, 1) >= 32:
+            if nnz >= 4096 and nnz / max(num_rows, 1) >= 32 and not ell_only:
                 bell = build_bell_plan(rowptr_np, col_np, num_cols)
                 if bell.pad_ratio() <= 1.5:
                     self._bell_fwd = bell

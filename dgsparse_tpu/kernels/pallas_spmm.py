@@ -34,6 +34,9 @@ from dgsparse_tpu.core.planner import EdgeTilePlan
 from dgsparse_tpu.ops.types import Algorithm, ReduceOp
 
 _INTERPRET = False  # flipped by tests/conftest on CPU
+# Largest gathered [slots, F] buffer one bucket may materialize before the
+# row loop chunks it (see spmm_bucketed_ell); patchable for tests.
+_GATHER_BUDGET_BYTES = 256 << 20
 
 
 def set_interpret(value: bool) -> None:
@@ -239,22 +242,42 @@ def spmm_bucketed_ell(
     see spmm_ell."""
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_bucketed_ell handles SUM/MEAN only")
+    f = dense.shape[-1]
+    # Memory bound: the gather materializes [rb*k, F]; at Reddit scale
+    # (115M edges, F=64) that is ~30 GB. Chunk each bucket's rows so one
+    # gathered buffer stays under the budget — chunk boundaries are static
+    # (plan shapes are), so this is just more XLA ops, not dynamism.
+    max_slots = max(_GATHER_BUDGET_BYTES // (4 * f), 1)
     outs = []
     o2 = 0
     for cols, mask, eperm, _rows, _k in plan.bucket_views():
         rb, k = cols.shape
-        gathered = jnp.take(dense, cols.reshape(-1), axis=0)
-        gathered = gathered.reshape(rb, k, dense.shape[-1])
-        if w_slot is not None:
-            w = jax.lax.slice(w_slot, (o2,), (o2 + rb * k,)).reshape(rb, k)
+
+        def bucket_out(cols, mask, eperm, w_off, rb=rb, k=k):
+            gathered = jnp.take(dense, cols.reshape(-1), axis=0)
+            gathered = gathered.reshape(rb, k, f)
+            if w_slot is not None:
+                w = jax.lax.slice(w_slot, (w_off,),
+                                  (w_off + rb * k,)).reshape(rb, k)
+            else:
+                w = mask
+                if values is not None:
+                    safe = jnp.maximum(eperm, 0).reshape(-1)
+                    w = w * jnp.take(values, safe).reshape(rb, k).astype(
+                        w.dtype)
+            return jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype),
+                              gathered)
+
+        if rb * k <= max_slots:
+            outs.append(bucket_out(cols, mask, eperm, o2))
         else:
-            w = mask
-            if values is not None:
-                safe = jnp.maximum(eperm, 0).reshape(-1)
-                w = w * jnp.take(values, safe).reshape(rb, k).astype(w.dtype)
+            rows_per = max(max_slots // k, 1)
+            for r0 in range(0, rb, rows_per):
+                r1 = min(r0 + rows_per, rb)
+                outs.append(bucket_out(
+                    cols[r0:r1], mask[r0:r1], eperm[r0:r1],
+                    o2 + r0 * k, rb=r1 - r0, k=k))
         o2 += rb * k
-        outs.append(jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype),
-                               gathered))
     out = _ell_recombine(plan, jnp.concatenate(outs, axis=0))
     if reduce == ReduceOp.MEAN:
         if degrees is None:

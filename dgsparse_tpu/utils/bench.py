@@ -95,7 +95,7 @@ def time_on_device_2pt(op: Callable, *args, iters=(50, 250),
     return max(best, 0.0)
 
 
-_BUMP = 1.0 + 2.0 ** -20  # exactly representable in f32; 250 iters drift 0.02%
+
 
 
 def time_pytree_2pt(fn: Callable, args: tuple, iters=(50, 250),
@@ -115,7 +115,12 @@ def time_pytree_2pt(fn: Callable, args: tuple, iters=(50, 250),
 
     def _bump(a):
         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
-            return a * jnp.asarray(_BUMP, a.dtype)
+            # the factor must be representable != 1.0 in a's OWN dtype:
+            # 1 + 2^-20 rounds to exactly 1.0 in bf16/f16, making the
+            # carry loop-invariant and letting XLA hoist the whole body
+            # (observed: a 10 ms bf16 spmm "measured" 2.8 us)
+            eps = 2.0 ** -20 if jnp.finfo(a.dtype).nmant >= 20 else 2.0 ** -7
+            return a * jnp.asarray(1.0 + eps, a.dtype)
         return a
 
     def _consume(out):

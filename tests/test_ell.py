@@ -215,3 +215,27 @@ def test_ell_maxmin_empty_rows():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
     assert np.all(np.asarray(out)[0] == 0) and np.all(
         np.asarray(out)[2] == 0)
+
+
+def test_bucketed_ell_chunked_gather_matches():
+    """Tiny gather budget -> per-bucket row chunking; results must be
+    identical to the unchunked path (Reddit-scale memory bound)."""
+    from dgsparse_tpu.core.planner import build_bucketed_ell_plan
+    from dgsparse_tpu.kernels import pallas_spmm as kp
+    from dgsparse_tpu.ops.types import ReduceOp
+    from dgsparse_tpu.utils.testing import random_csr, spmm_oracle
+
+    rowptr, col, vals = random_csr(500, 400, avg_degree=7.0, seed=13,
+                                   skew=1.4)
+    plan = build_bucketed_ell_plan(rowptr, col, 400)
+    x = jnp.asarray(np.random.default_rng(14)
+                    .standard_normal((400, 16)).astype(np.float32))
+    v = jnp.asarray(vals)
+    ref = spmm_oracle(rowptr, col, vals, np.asarray(x), "sum")
+    budget = kp._GATHER_BUDGET_BYTES
+    try:
+        kp._GATHER_BUDGET_BYTES = 64 * 16 * 4   # forces many chunks
+        out = kp.spmm_bucketed_ell(plan, v, x, ReduceOp.SUM)
+    finally:
+        kp._GATHER_BUDGET_BYTES = budget
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)

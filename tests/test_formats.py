@@ -134,3 +134,27 @@ def test_build_plans_false():
     g = jax.grad(lambda d: (spmm(sp.t(), d, "sum")**2).sum())(
         jnp.asarray(rng.standard_normal((900, 8)).astype(np.float32)))
     assert bool(jnp.isfinite(g).all())
+
+
+def test_build_plans_ell_light_mode():
+    """build_plans='ell' keeps only the ELL-family forward plan (the
+    100M-edge scale mode: ~9 B/edge instead of ~33)."""
+    import numpy as np
+
+    from dgsparse_tpu import Algorithm, spmm
+    from dgsparse_tpu.utils.testing import random_csr, spmm_oracle
+
+    rowptr, col, vals = random_csr(600, 600, avg_degree=8.0, seed=21,
+                                   skew=1.2)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(600, 600),
+                               build_plans="ell")
+    st = sp.storage
+    assert st.plan() is None and st.plan(transpose=True) is None
+    assert st.bell_plan() is None
+    assert st.ell_plan() is not None
+    x = jnp.asarray(np.random.default_rng(22)
+                    .standard_normal((600, 16)).astype(np.float32))
+    out = spmm(sp, x, "sum", Algorithm.PALLAS_ROW_TILE)
+    ref = spmm_oracle(rowptr, col, vals, np.asarray(x), "sum")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
