@@ -172,7 +172,10 @@ def spmm_ell(
         if values is not None:
             safe = jnp.maximum(plan.eperm, 0).reshape(-1)
             w = w * jnp.take(values, safe).reshape(m, k).astype(w.dtype)
-    out = jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype), gathered)
+    # fp32 accumulation even for bf16 inputs (K can reach 64K on hub rows)
+    out = jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype), gathered,
+                     preferred_element_type=jnp.float32
+                     ).astype(dense.dtype)
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
@@ -218,7 +221,8 @@ def gspmm_ell(
             contrib = gathered
         contrib = contrib.reshape(rb, k, f) * mask[:, :, None].astype(
             contrib.dtype)
-        outs.append(contrib.sum(axis=1))
+        outs.append(contrib.sum(axis=1, dtype=jnp.float32)
+                    .astype(dense.dtype))
     out = outs[0] if inv_row is None else _ell_recombine(
         plan, jnp.concatenate(outs, axis=0))
     if reduce == ReduceOp.MEAN:
@@ -266,7 +270,9 @@ def spmm_bucketed_ell(
                     w = w * jnp.take(values, safe).reshape(rb, k).astype(
                         w.dtype)
             return jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype),
-                              gathered)
+                              gathered,
+                              preferred_element_type=jnp.float32
+                              ).astype(dense.dtype)
 
         if rb * k <= max_slots:
             outs.append(bucket_out(cols, mask, eperm, o2))
