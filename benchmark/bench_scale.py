@@ -196,28 +196,41 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="arxiv-scale only")
+    ap.add_argument("--skip-arxiv", action="store_true")
     ap.add_argument("--out", default="benchmark/results_scale.json")
     args = ap.parse_args()
     results = []
 
-    # --- arxiv scale ---
-    rowptr, col = power_law_graph(169343, 169343, 1166243, seed=3)
-    for feat in (64, 128):
-        results += bench_standard("arxiv-scale", rowptr, col, feat,
-                                  ["PALLAS_ROW_TILE", "PALLAS_EDGE_TILE",
-                                   "XLA_SEGMENT"])
+    def flush():
+        # incremental writes: a wedged tunnel mid-run must not lose the
+        # sections already measured
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+    def section(fn, *a):
+        try:
+            results.extend(fn(*a))
+        except Exception as ex:
+            log(f"section {fn.__name__} failed: "
+                f"{type(ex).__name__}: {ex}")
+        flush()
+
+    if not args.skip_arxiv:
+        rowptr, col = power_law_graph(169343, 169343, 1166243, seed=3)
+        for feat in (64, 128):
+            section(bench_standard, "arxiv-scale", rowptr, col, feat,
+                    ["PALLAS_ROW_TILE", "PALLAS_EDGE_TILE",
+                     "XLA_SEGMENT"])
 
     if not args.quick:
         # --- reddit scale, clustered (hybrid BELL+ELL target) ---
         rowptr, col = clustered_graph(232965, 232965, 492, seed=4)
-        results += bench_reddit_hybrid("reddit-clustered", rowptr, col, 64)
+        section(bench_reddit_hybrid, "reddit-clustered", rowptr, col, 64)
         # --- reddit scale, random (lean chunked path) ---
         rowptr, col = clustered_graph(232965, 232965, 492, seed=5,
                                       intra=0.0)
-        results += bench_reddit_lean("reddit-random", rowptr, col, 64)
+        section(bench_reddit_lean, "reddit-random", rowptr, col, 64)
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=1)
     log(f"wrote {args.out}")
     for r in results:
         print(json.dumps(r))
