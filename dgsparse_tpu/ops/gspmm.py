@@ -214,6 +214,9 @@ def gspmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     """Semiring SpMM over a SparseTensor. compute is ignored (copy_u) when
     the tensor has no values."""
     reduce, compute = as_reduce(reduce), as_compute(compute)
+    from dgsparse_tpu.utils.debug import maybe_validate
+
+    maybe_validate(sparse)
     from dgsparse_tpu.utils import metrics
 
     metrics.record("gspmm", reduce=reduce.value, compute=compute.value,

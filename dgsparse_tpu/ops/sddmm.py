@@ -106,6 +106,9 @@ def sddmm(sparse: SparseTensor, d1: jax.Array, d2: jax.Array,
     reduce = as_reduce(reduce)
     if algorithm not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown sddmm algorithm {algorithm!r}")
+    from dgsparse_tpu.utils.debug import maybe_validate
+
+    maybe_validate(sparse)
     from dgsparse_tpu.utils import metrics
 
     metrics.record("sddmm", alg=algorithm, reduce=str(reduce),

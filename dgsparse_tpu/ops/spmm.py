@@ -358,6 +358,9 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     """SpMM with a selectable reduction. Returns [M, F]."""
     reduce = as_reduce(reduce)
     algorithm = as_algorithm(algorithm)
+    from dgsparse_tpu.utils.debug import maybe_validate
+
+    maybe_validate(sparse)
     if dense.ndim != 2:
         raise ValueError(f"dense must be [N, F], got shape {dense.shape}")
     if dense.shape[0] != sparse.sparse_sizes()[1]:

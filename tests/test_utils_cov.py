@@ -103,3 +103,26 @@ def test_metrics_records_dispatch_decisions():
     assert "spmm" in metrics.summary()
     metrics.reset()
     assert metrics.counters() == {}
+
+
+def test_validate_mode_catches_bad_structure():
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from dgsparse_tpu import SparseTensor, spmm
+    from dgsparse_tpu.utils import debug
+
+    sp = SparseTensor.from_csr(
+        jnp.asarray(np.array([0, 1, 2], np.int32)),
+        jnp.asarray(np.array([1, 0], np.int32)),
+        None, sparse_sizes=(2, 2))
+    # corrupt the column indices AFTER construction (a data-pipeline bug)
+    sp.storage._col = jnp.asarray(np.array([5, 0], np.int32))
+    x = jnp.ones((2, 4), jnp.float32)
+    debug.set_validate(True)
+    try:
+        with pytest.raises(ValueError, match="col indices out of range"):
+            spmm(sp, x, "sum")
+    finally:
+        debug.set_validate(False)
