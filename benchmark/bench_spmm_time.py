@@ -69,6 +69,13 @@ def main():
     ap.add_argument("--graphs", default=None,
                     help="comma list; default = all")
     ap.add_argument("--out", default=None, help="write JSON rows here")
+    ap.add_argument("--iters", default=None,
+                    help="fwd two-point iter counts, e.g. 20,100")
+    ap.add_argument("--bwd-iters", default=None,
+                    help="fwd+bwd two-point iter counts, e.g. 5,20")
+    ap.add_argument("--algs", default=None,
+                    help="comma list of Algorithm names; default = all "
+                         "available per graph")
     args = ap.parse_args()
 
     from dgsparse_tpu import SparseTensor, spmm
@@ -99,6 +106,10 @@ def main():
         graphs = dict(list(graphs.items())[:1])
         feats, reduces = feats[:1], reduces[:2]
     iters = (10, 50) if args.quick else (20, 100)
+    if args.iters:
+        iters = tuple(int(v) for v in args.iters.split(","))
+    bwd_iters = tuple(int(v) for v in args.bwd_iters.split(",")) \
+        if args.bwd_iters else iters
 
     rows = []
     backend = jax.default_backend()
@@ -115,7 +126,11 @@ def main():
                             .astype(np.float32))
             ct = jnp.asarray(rng.standard_normal((n, feat))
                              .astype(np.float32))
-            for alg in available_algorithms(sp):
+            algs = available_algorithms(sp)
+            if args.algs:
+                want = args.algs.split(",")
+                algs = [a for a in algs if a.name in want]
+            for alg in algs:
                 for reduce in reduces:
                     t_f = time_pytree_2pt(
                         lambda x_: spmm(sp, x_, reduce, alg), (x,),
@@ -125,8 +140,8 @@ def main():
                         return jax.grad(lambda a: jnp.vdot(
                             spmm(sp, a, reduce, alg), ct_))(x_)
 
-                    t_fb = time_pytree_2pt(fwdbwd, (x, ct), iters=iters,
-                                           repeats=1)
+                    t_fb = time_pytree_2pt(fwdbwd, (x, ct),
+                                           iters=bwd_iters, repeats=1)
                     gf = spmm_gflops(nnz, feat, t_f)
                     print(f"{name:16s} {alg.name:>10s} {feat:5d} "
                           f"{reduce:>6s} {t_f * 1e6:9.1f} {gf:9.2f} "
@@ -138,6 +153,9 @@ def main():
                         "fwd_gflops": round(gf, 2),
                         "fwdbwd_us": round(t_fb * 1e6, 1),
                     })
+                    if args.out:   # incremental: a wedge must not lose rows
+                        with open(args.out, "w") as f:
+                            json.dump(rows, f, indent=1)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(rows, f, indent=1)
