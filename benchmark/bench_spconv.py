@@ -60,10 +60,14 @@ def main():
         ct = jnp.asarray(rng.standard_normal(
             (plan.num_out, c_out)).astype(np.float32))
 
-        def fwdbwd(f, w):
-            return jax.grad(
-                lambda f_, w_: jnp.vdot(spconv(f_, w_, plan), ct),
-                argnums=(0, 1))(f, w)
+        def fwdbwd(f, w, ct_=ct):
+            # nonlinear loss keeps the forward alive under grad (a vdot
+            # cotangent lets XLA DCE the forward of the linear conv)
+            def loss(f_, w_):
+                out = spconv(f_, w_, plan)
+                return jnp.vdot(out * out, ct_)
+
+            return jax.value_and_grad(loss, argnums=(0, 1))(f, w)
 
         dt = time_pytree_2pt(fwdbwd, (feats, kernel), iters=(10, 50),
                              repeats=3)

@@ -164,14 +164,16 @@ def tune_spmm(sparse: SparseTensor, feat: int, reduce="sum",
     for alg in _candidates(sparse, reduce):
         try:
             if with_grad:
-                # array-carry chain: both differentiated inputs vary per
-                # iteration, so neither gradient is loop-invariant (a
-                # scalar-scaled chain lets XLA hoist the whole backward)
+                # array-carry chain + nonlinear loss: carried inputs keep
+                # the backward loop-variant, and out*out keeps the FORWARD
+                # alive (grad of a linear vdot loss discards the primal
+                # and XLA drops the forward entirely — PERF_GUIDE rule 5)
                 def body(v, b, alg=alg):
-                    return jax.grad(
-                        lambda v_, b_: jnp.vdot(
-                            spmm(sparse.set_values(v_), b_, reduce, alg),
-                            ct), argnums=(0, 1))(v, b)
+                    def loss(v_, b_):
+                        out = spmm(sparse.set_values(v_), b_, reduce, alg)
+                        return jnp.vdot(out * out, ct)
+
+                    return jax.value_and_grad(loss, argnums=(0, 1))(v, b)
 
                 times[alg] = time_pytree_2pt(body, (vals, x), iters=iters)
             else:
