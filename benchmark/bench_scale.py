@@ -132,7 +132,7 @@ def bench_reddit_lean(name, rowptr, col, feat, chunks=16):
     rng = np.random.default_rng(1)
     b = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
 
-    def fwd(bx):
+    def fwd(bx, col_a, coo_a):
         outs = []
         for i in range(chunks):
             s, e = bounds[i], bounds[i + 1]
@@ -140,14 +140,24 @@ def bench_reddit_lean(name, rowptr, col, feat, chunks=16):
             if e == s:
                 outs.append(jnp.zeros((r1 - r0, feat), bx.dtype))
                 continue
-            contrib = jnp.take(bx, jax.lax.slice(col_j, (s,), (e,)), axis=0)
-            seg = jax.lax.slice(coo_j, (s,), (e,)) - r0
+            contrib = jnp.take(bx, jax.lax.slice(col_a, (s,), (e,)), axis=0)
+            seg = jax.lax.slice(coo_a, (s,), (e,)) - r0
             outs.append(jax.ops.segment_sum(
                 contrib, seg, num_segments=r1 - r0,
                 indices_are_sorted=True))
         return jnp.concatenate(outs, axis=0)
 
-    dt = time_pytree_2pt(fwd, (b,), iters=(3, 9), repeats=3)
+    # index arrays as args, not closures (HLO-constant size limit)
+    dt = time_pytree_2pt(fwd, (b, col_j, coo_j), iters=(2, 6), repeats=5)
+    if dt <= 0:
+        # fall back to blocking wall-time (coarse but nonzero)
+        import time as _t
+
+        r = jax.jit(fwd)(b, col_j, coo_j)
+        jax.block_until_ready(r)
+        t0 = _t.perf_counter()
+        jax.block_until_ready(jax.jit(fwd)(b, col_j, coo_j))
+        dt = _t.perf_counter() - t0
     return [_row(name, f"XLA_CHUNKED[{chunks}]", nnz, m, n, feat, dt)]
 
 
@@ -172,15 +182,25 @@ def bench_reddit_hybrid(name, rowptr, col, feat):
     b = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
     rows = []
     for cd, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        # the plan must be an ARGUMENT: closure-captured arrays embed as
+        # HLO literal constants, and a 1.3 GB plan blows the remote
+        # compiler's request-size limit (observed HTTP 413)
         dt = time_pytree_2pt(
-            lambda x, cd=cd: spmm_hybrid(plan, None, x, compute_dtype=cd),
-            (b,), iters=(3, 9), repeats=3)
+            lambda x, pl, cd=cd: spmm_hybrid(pl, None, x,
+                                             compute_dtype=cd),
+            (b, plan), iters=(3, 9), repeats=3)
         rows.append(_row(name, f"PALLAS_HYBRID[{tag}]", nnz, m, n, feat,
                          dt))
     return rows
 
 
 def _row(name, alg, nnz, m, n, feat, dt):
+    if dt <= 0:
+        # two-point difference degenerated (tunnel hiccup mid-repeat);
+        # record nothing rather than an infinite GFLOP/s
+        log(f"[{name}] {alg}: degenerate timing (dt={dt}); row skipped")
+        return {"graph": name, "alg": alg, "nnz": nnz, "feat": feat,
+                "us": None, "gflops": None, "roofline_frac": None}
     gflops = 2.0 * nnz * feat / dt / 1e9
     min_bytes = (nnz + m + n) * feat * 4
     roof = min_bytes / dt / 1e9 / HBM_GBPS

@@ -507,6 +507,14 @@ class BellPlan:
     eperm: jax.Array      # [T*E] original edge position (-1 padding)
     tile_rb: jax.Array    # [T] row block per tile (nondecreasing)
     tile_cw: jax.Array    # [T] column window per tile
+    # Chunked execution (Reddit scale): the scalar-prefetch arrays live in
+    # SMEM (~1 MB), so a plan with > ~100K tiles must run as several
+    # pallas_calls over tile ranges cut at block boundaries. tile_lb is
+    # the CHUNK-LOCAL block index per tile; block_inv maps row block ->
+    # its position in the chunk-concatenated output. Empty (None/()) for
+    # small plans.
+    tile_lb: object       # [T] int32 or None
+    block_inv: object     # [num_row_blocks] int32 or None
     num_tiles: int
     edge_tile: int
     row_block: int
@@ -516,13 +524,14 @@ class BellPlan:
     num_rows: int
     num_cols: int
     nnz: int
+    chunks: tuple = ()    # ((t0, t1, n_blocks), ...) static
 
     def tree_flatten(self):
         return (self.lcol, self.lrow, self.eperm, self.tile_rb,
-                self.tile_cw), (
+                self.tile_cw, self.tile_lb, self.block_inv), (
             self.num_tiles, self.edge_tile, self.row_block, self.col_window,
             self.num_row_blocks, self.num_col_windows, self.num_rows,
-            self.num_cols, self.nnz)
+            self.num_cols, self.nnz, self.chunks)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -534,6 +543,11 @@ class BellPlan:
 
     def pad_ratio(self) -> float:
         return self.padded_edges / max(self.nnz, 1)
+
+
+# max tiles per pallas_call: 2 int32 scalar-prefetch arrays of this length
+# stay ~0.5 MB, under the ~1 MB SMEM budget
+_BELL_CHUNK_TILES = 65536
 
 
 def build_bell_plan(
@@ -613,13 +627,47 @@ def build_bell_plan(
         tile_cw = np.concatenate([tile_cw,
                                   np.zeros(len(empty_rb), np.int32)])
 
+    # Chunking for huge plans: scalar-prefetch arrays must fit SMEM
+    # (observed hard failure at 720K tiles: "prefetched SMEM operand"
+    # 2.8 MB > 1 MB). Cut the tile stream at block-run boundaries into
+    # <= _BELL_CHUNK_TILES ranges; each chunk's kernel writes its visited
+    # blocks contiguously (tile_lb), and block_inv restores block order.
+    t_total = len(tile_rb)
+    chunks = ()
+    tile_lb = block_inv = None
+    if t_total > _BELL_CHUNK_TILES:
+        change = np.empty(t_total, bool)
+        change[0] = True
+        np.not_equal(tile_rb[1:], tile_rb[:-1], out=change[1:])
+        runs = np.nonzero(change)[0]
+        gb = np.cumsum(change) - 1                  # visitation block idx
+        vis_rb = tile_rb[runs]
+        binv = np.empty(num_rb, np.int64)
+        binv[vis_rb] = np.arange(len(vis_rb))
+        bounds = [0]
+        for r in runs[1:]:
+            if int(r) - bounds[-1] >= _BELL_CHUNK_TILES:
+                bounds.append(int(r))
+        bounds.append(t_total)
+        lb = gb.copy()
+        ch = []
+        for i in range(len(bounds) - 1):
+            t0, t1 = bounds[i], bounds[i + 1]
+            lb[t0:t1] -= gb[t0]
+            ch.append((t0, t1, int(gb[t1 - 1] - gb[t0] + 1)))
+        chunks = tuple(ch)
+        tile_lb = jnp.asarray(lb.astype(np.int32))
+        block_inv = jnp.asarray(binv.astype(np.int32))
+
     return BellPlan(
         lcol=jnp.asarray(lcol),
         lrow=jnp.asarray(lrow),
         eperm=jnp.asarray(eperm),
         tile_rb=jnp.asarray(tile_rb),
         tile_cw=jnp.asarray(tile_cw),
-        num_tiles=len(tile_rb),
+        tile_lb=tile_lb,
+        block_inv=block_inv,
+        num_tiles=t_total,
         edge_tile=edge_tile,
         row_block=row_block,
         col_window=col_window,
@@ -628,4 +676,5 @@ def build_bell_plan(
         num_rows=m,
         num_cols=num_cols,
         nnz=nnz,
+        chunks=chunks,
     )

@@ -408,39 +408,63 @@ def spmm_bell(
     kernel = functools.partial(_bell_kernel, plan.row_block, plan.edge_tile,
                                plan.col_window, compute_dtype)
     e = plan.edge_tile
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(plan.num_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1, e), lambda t, rb, cw: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, e), lambda t, rb, cw: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, e), lambda t, rb, cw: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((plan.col_window, f_pad),
-                         lambda t, rb, cw: (cw[t], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((plan.row_block, f_pad),
-                               lambda t, rb, cw: (rb[t], 0),
-                               memory_space=pltpu.VMEM),
-    )
-    te = plan.num_tiles
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((plan.num_rows, f_pad), jnp.float32),
-        grid_spec=grid_spec,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * te * e * f_pad * (plan.col_window + plan.row_block),
-            bytes_accessed=te * plan.col_window * f_pad * 4
-            + plan.num_rows * f_pad * 4,
-            transcendentals=0,
-        ),
-        interpret=_INTERPRET,
-    )(plan.tile_rb, plan.tile_cw,
-      plan.lcol.reshape(te, 1, e), plan.lrow.reshape(te, 1, e),
-      v.reshape(te, 1, e), dense)
+
+    def run(tile_rb, tile_cw, lcol, lrow, vv, n_rows_out):
+        te = tile_rb.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(te,),
+            in_specs=[
+                pl.BlockSpec((1, 1, e), lambda t, rb, cw: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, e), lambda t, rb, cw: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, e), lambda t, rb, cw: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((plan.col_window, f_pad),
+                             lambda t, rb, cw: (cw[t], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((plan.row_block, f_pad),
+                                   lambda t, rb, cw: (rb[t], 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_rows_out, f_pad),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * te * e * f_pad
+                * (plan.col_window + plan.row_block),
+                bytes_accessed=te * plan.col_window * f_pad * 4
+                + n_rows_out * f_pad * 4,
+                transcendentals=0,
+            ),
+            interpret=_INTERPRET,
+        )(tile_rb, tile_cw, lcol.reshape(te, 1, e), lrow.reshape(te, 1, e),
+          vv.reshape(te, 1, e), dense)
+
+    if not plan.chunks:
+        te = plan.num_tiles
+        out = run(plan.tile_rb, plan.tile_cw, plan.lcol, plan.lrow, v,
+                  plan.num_rows)
+        return out[:, :f] if f_pad != f else out
+
+    # Chunked execution (> _BELL_CHUNK_TILES tiles): each chunk's kernel
+    # indexes output blocks by the chunk-local block id (tile_lb) so its
+    # output is dense; block_inv restores global block order at the end.
+    parts = []
+    for t0, t1, nb in plan.chunks:
+        sl = lambda a: jax.lax.slice(a, (t0,), (t1,))
+        sl_e = lambda a: jax.lax.slice(a, (t0 * e,), (t1 * e,))
+        out_c = run(sl(plan.tile_lb), sl(plan.tile_cw), sl_e(plan.lcol),
+                    sl_e(plan.lrow), sl_e(v),
+                    nb * plan.row_block)
+        parts.append(out_c.reshape(nb, plan.row_block, f_pad))
+    blocks = jnp.concatenate(parts, axis=0)       # [num_rb, R, f_pad]
+    out = jnp.take(blocks, plan.block_inv, axis=0).reshape(
+        plan.num_row_blocks * plan.row_block, f_pad)[:plan.num_rows]
     return out[:, :f] if f_pad != f else out
 
 

@@ -89,3 +89,36 @@ def test_bell_through_op_and_backward():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gd_b), np.asarray(gd_x),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bell_chunked_matches_unchunked():
+    """Forced tiny chunk size -> multi-call BELL with block reordering;
+    must equal the single-call kernel and the oracle (the Reddit-scale
+    SMEM-prefetch path)."""
+    from dgsparse_tpu.core import planner as P
+    from dgsparse_tpu.kernels.pallas_spmm import spmm_bell
+    from dgsparse_tpu.ops.types import ReduceOp
+    from dgsparse_tpu.utils.testing import random_csr, spmm_oracle
+
+    m = n = 700
+    rowptr, col, vals = random_csr(m, n, avg_degree=40.0, seed=31,
+                                   skew=0.6)
+    plan_one = P.build_bell_plan(rowptr, col, n)
+    assert plan_one.chunks == ()
+    old = P._BELL_CHUNK_TILES
+    try:
+        P._BELL_CHUNK_TILES = 16
+        plan_ch = P.build_bell_plan(rowptr, col, n)
+    finally:
+        P._BELL_CHUNK_TILES = old
+    assert len(plan_ch.chunks) > 1
+    x = jnp.asarray(np.random.default_rng(32)
+                    .standard_normal((n, 16)).astype(np.float32))
+    v = jnp.asarray(vals)
+    ref = spmm_oracle(rowptr, col, vals, np.asarray(x), "sum")
+    out1 = spmm_bell(plan_one, v, x, ReduceOp.SUM)
+    out2 = spmm_bell(plan_ch, v, x, ReduceOp.SUM)
+    np.testing.assert_allclose(np.asarray(out1), ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out2), ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-6, atol=1e-6)
