@@ -387,7 +387,7 @@ class HybridPlan:
     """Dense cells -> BELL (fully in-MXU, zero random access), sparse
     residue -> bucketed ELL (gather + K-sum). The decomposition that makes
     clustered graphs (communities, hub columns) fast: every (128-row x
-    128-col) cell holding >= `dense_threshold` x edge_tile edges runs on
+    128-col) cell holding >= `min_cell_edges` edges runs on
     the MXU; only the leftover edges pay the issue-bound gather.
 
     No reference counterpart — the reference's answer to structure is its
@@ -422,10 +422,10 @@ def build_hybrid_plan(
     rowptr: np.ndarray,
     col: np.ndarray,
     num_cols: int,
-    edge_tile: int = 128,
+    edge_tile: int = 256,
     row_block: int = 128,
     col_window: int = 128,
-    dense_threshold: float = 0.75,
+    min_cell_edges: int = 96,
 ):
     """Split edges into dense-cell (BELL) and residue (bucketed ELL) parts.
 
@@ -453,7 +453,7 @@ def build_hybrid_plan(
     np.not_equal(cs[1:], cs[:-1], out=uniq_mask[1:])
     starts = np.nonzero(uniq_mask)[0]
     counts = np.diff(np.append(starts, nnz))
-    min_edges = int(dense_threshold * edge_tile)
+    min_edges = int(min_cell_edges)
     dense_cells = counts >= min_edges
     dense_mask_sorted = np.repeat(dense_cells, counts)
     dense_edges = order[dense_mask_sorted]          # original edge ids
