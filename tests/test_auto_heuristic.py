@@ -109,3 +109,25 @@ def test_sddmm_pallas_algorithm_reachable():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-4)
     with pytest.raises(ValueError):
         sddmm(sp, d1, d2, "sum", algorithm="nope")
+
+
+def test_clustered_graph_picks_hybrid(on_tpu):
+    """Community-clustered dense cells -> HybridPlan, AUTO -> ROW_TILE
+    (dense cells run in-MXU, residue on bucketed ELL)."""
+    import sys
+
+    sys.path.insert(0, "benchmark")
+    from bench_scale import clustered_graph
+
+    from dgsparse_tpu.core.planner import HybridPlan
+
+    rowptr, col = clustered_graph(2000, 2000, 60, seed=5)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               None, sparse_sizes=(2000, 2000))
+    plan = sp.storage.ell_plan()
+    assert isinstance(plan, HybridPlan), type(plan)
+    assert plan.dense_fraction >= 0.3
+    assert _resolve(sp) == Algorithm.PALLAS_ROW_TILE
+    # max/min cannot run the hybrid (sum/mean only) and must not crash:
+    assert _resolve(sp, ReduceOp.MAX) in (Algorithm.PALLAS_EDGE_TILE,
+                                          Algorithm.XLA_SEGMENT)
