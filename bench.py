@@ -58,9 +58,17 @@ def child(algorithm_name: str, out_path: str) -> None:
     alg = Algorithm[algorithm_name]
     rowptr, col, vals, m, n = load_graph()
     nnz = len(col)
+    # Backend/tunnel init is NOT construction: warm it with one tiny
+    # round-trip first so the construction number is plan-build only
+    # (round-2 capture billed 261 s of cold backend setup to
+    # "construction" because the timer started before any device touch).
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.zeros((8,), jnp.float32) + 1.0)
+    log(f"[{algorithm_name}] backend init {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
     sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
                                jnp.asarray(vals), sparse_sizes=(m, n))
+    jax.block_until_ready(sp.storage.col())
     log(f"[{algorithm_name}] construction {time.perf_counter() - t0:.2f}s")
 
     rng = np.random.default_rng(0)
@@ -68,11 +76,11 @@ def child(algorithm_name: str, out_path: str) -> None:
     backend = jax.default_backend()
     fn = jax.jit(lambda x: spmm(sp, x, "sum", alg))
 
+    # full-output correctness check (not a prefix slice)
     out = np.asarray(jax.device_get(fn(b)))
-    k = int(rowptr[2048])
-    ref = spmm_oracle(rowptr[:2049], col[:k], vals[:k], np.asarray(b), "sum")
-    np.testing.assert_allclose(out[:2048], ref[:2048], rtol=1e-3, atol=1e-3)
-    log(f"[{algorithm_name}] correctness OK on {backend}")
+    ref = spmm_oracle(rowptr, col, vals, np.asarray(b), "sum")
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
+    log(f"[{algorithm_name}] correctness OK on {backend} (full output)")
 
     # TWO-POINT on-device timing with array-carry chaining (lax.fori_loop
     # at two iteration counts; the difference cancels the tunnel's fixed

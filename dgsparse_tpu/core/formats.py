@@ -239,10 +239,24 @@ class Storage:
         values are absent/traced (ops fall back to in-graph gathers);
         gradients stay exact either way because the custom VJPs compute
         d_values explicitly (ops/spmm.py)."""
-        if values is None or isinstance(values, jax.core.Tracer):
+        if isinstance(values, jax.core.Tracer):
             return None
         if getattr(self, "_plan_fwd", None) is None and \
                 getattr(self, "_ell_fwd", None) is None:
+            return None
+        if values is None:
+            # ones-default values: the only per-call cost worth caching is
+            # the hybrid dense-cell materialization (a 1-D segment-sum over
+            # every dense-tier edge); everything else is a cheap mask.
+            from dgsparse_tpu.core.planner import (HybridPlan,
+                                                   materialize_cells_np)
+
+            hp = getattr(self, "_ell_fwd", None)
+            if isinstance(hp, HybridPlan) and hp.cells is not None:
+                cells = jnp.asarray(materialize_cells_np(hp.cells, None))
+                return {"ell": {"bell": None, "ell": None, "cells": cells},
+                        "esc": None, "esc_t": None, "bell": None,
+                        "bell_t": None, "csc": None}
             return None
         vals_np = np.asarray(jax.device_get(values))
         perm_np = np.asarray(jax.device_get(self._csr2csc))
@@ -255,11 +269,19 @@ class Storage:
 
         ell_w = None
         if self._ell_fwd is not None:
-            from dgsparse_tpu.core.planner import HybridPlan
+            from dgsparse_tpu.core.planner import (HybridPlan,
+                                                   materialize_cells_np)
 
             if isinstance(self._ell_fwd, HybridPlan):
-                ell_w = (slotw(self._ell_fwd.bell, vals_np),
-                         slotw(self._ell_fwd.ell, vals_np))
+                hp = self._ell_fwd
+                ell_w = {
+                    "bell": (slotw(hp.bell, vals_np)
+                             if hp.bell is not None else None),
+                    "ell": slotw(hp.ell, vals_np),
+                    "cells": (jnp.asarray(
+                        materialize_cells_np(hp.cells, vals_np))
+                        if hp.cells is not None else None),
+                }
             else:
                 ell_w = slotw(self._ell_fwd, vals_np)
         return {

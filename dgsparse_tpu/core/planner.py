@@ -383,26 +383,127 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class DenseCellPlan:
+    """Truly dense (128-row x 128-col) cells MATERIALIZED as dense blocks:
+    SpMM over them is a plain block-sparse matmul out[rb] += cell @ B[cw] —
+    one [R,C]x[C,F] MXU pass per cell instead of ceil(e/E) one-hot tile
+    pairs. At cell fill >= ~5% this is both fewer FLOPs (2·R·C·F vs
+    2·e·F·(C+R)) and ~e/E fewer grid steps than the one-hot BELL kernel.
+    The role analog of the reference's center-tap dense cuBLAS GEMM
+    (src/cuda/spconv_cuda.cu:44-83): route the dense part of the problem
+    to a plain GEMM and keep kernels for the irregular rest.
+
+    Structure-only: the [ncells, R, C] block array is values-dependent and
+    is materialized by `materialize_cells` (cached on Storage for concrete
+    values, rebuilt in-graph for traced values)."""
+
+    slot: jax.Array       # [nnz_d] int32 flat slot (cell*R*C + lr*C + lc),
+                          # sorted ascending (duplicates allowed — summed)
+    eperm: jax.Array      # [nnz_d] int32 original edge id per sorted slot
+    cell_rb: jax.Array    # [ncells] int32 row block (nondecreasing)
+    cell_cw: jax.Array    # [ncells] int32 column window
+    t_order: jax.Array    # [ncells] int32 cell visit order for the
+                          # transpose pass (sorted by (cw, rb))
+    t_rb: jax.Array       # [ncells] int32 = cell_rb[t_order]
+    t_cw: jax.Array       # [ncells] int32 = cell_cw[t_order] (nondecr.)
+    num_cells: int
+    row_block: int
+    col_window: int
+    num_rows: int
+    num_cols: int
+    nnz: int              # dense-tier edges only
+
+    def tree_flatten(self):
+        return (self.slot, self.eperm, self.cell_rb, self.cell_cw,
+                self.t_order, self.t_rb, self.t_cw), (
+            self.num_cells, self.row_block, self.col_window,
+            self.num_rows, self.num_cols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def cell_slots(self) -> int:
+        return self.num_cells * self.row_block * self.col_window
+
+    def fill_ratio(self) -> float:
+        return self.nnz / max(self.cell_slots, 1)
+
+
+def materialize_cells_np(plan: DenseCellPlan, values) -> np.ndarray:
+    """Host-side cell materialization (construction-time cache path).
+    values: [nnz_global] numpy or None (ones)."""
+    slot = np.asarray(jax.device_get(plan.slot))
+    n = plan.cell_slots
+    flat = np.zeros(n, np.float32)
+    if len(slot):
+        v = (np.ones(len(slot), np.float32) if values is None
+             else np.asarray(values)[np.asarray(
+                 jax.device_get(plan.eperm))].astype(np.float32))
+        # sorted slots: sum duplicate runs with reduceat, one store per
+        # unique slot (np.add.at is ~50x slower at 100M edges)
+        uniq_mask = np.empty(len(slot), bool)
+        uniq_mask[0] = True
+        np.not_equal(slot[1:], slot[:-1], out=uniq_mask[1:])
+        starts = np.nonzero(uniq_mask)[0]
+        flat[slot[starts]] = np.add.reduceat(v, starts)
+    return flat.reshape(plan.num_cells, plan.row_block, plan.col_window)
+
+
+def build_dense_cell_plan(coo_row, col, edge_ids, sel_cells, num_cw,
+                          row_block, col_window, num_rows, num_cols,
+                          nnz_total) -> DenseCellPlan:
+    """Build from the dense-tier edges (original-id arrays) + the sorted
+    unique cell ids selected for materialization."""
+    ncells = len(sel_cells)
+    cell_of_edge = (coo_row // row_block) * num_cw + \
+        col.astype(np.int64) // col_window
+    cidx = np.searchsorted(sel_cells, cell_of_edge)
+    lr = (coo_row % row_block).astype(np.int64)
+    lc = (col.astype(np.int64) % col_window)
+    slot = cidx * (row_block * col_window) + lr * col_window + lc
+    order = np.argsort(slot, kind="stable")
+    cell_rb = (sel_cells // num_cw).astype(np.int32)
+    cell_cw = (sel_cells % num_cw).astype(np.int32)
+    t_order = np.lexsort((cell_rb, cell_cw)).astype(np.int32)
+    return DenseCellPlan(
+        slot=jnp.asarray(slot[order].astype(np.int32)),
+        eperm=jnp.asarray(edge_ids[order].astype(np.int32)),
+        cell_rb=jnp.asarray(cell_rb),
+        cell_cw=jnp.asarray(cell_cw),
+        t_order=jnp.asarray(t_order),
+        t_rb=jnp.asarray(cell_rb[t_order]),
+        t_cw=jnp.asarray(cell_cw[t_order]),
+        num_cells=ncells, row_block=row_block, col_window=col_window,
+        num_rows=num_rows, num_cols=num_cols, nnz=len(coo_row))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class HybridPlan:
-    """Dense cells -> BELL (fully in-MXU, zero random access), sparse
-    residue -> bucketed ELL (gather + K-sum). The decomposition that makes
-    clustered graphs (communities, hub columns) fast: every (128-row x
-    128-col) cell holding >= `min_cell_edges` edges runs on
-    the MXU; only the leftover edges pay the issue-bound gather.
+    """Three-tier plan-time structure split:
+    - truly dense cells -> DenseCellPlan (materialized block-sparse GEMM),
+    - moderately filled cells -> BELL (one-hot MXU, zero random access),
+    - sparse residue -> bucketed ELL (gather + K-sum).
+    The decomposition that makes clustered graphs (communities, hub
+    columns) fast: only leftover edges pay the issue-bound gather.
 
     No reference counterpart — the reference's answer to structure is its
     runtime algorithm zoo (src/ge-spmm/gespmm.cc); here structure is
-    exploited at plan time."""
+    exploited at plan time. `bell` / `cells` may be None when their tier
+    is empty; all eperm/inv arrays are in ORIGINAL edge-id space."""
 
-    bell: "BellPlan"          # dense cells (eperm in ORIGINAL edge ids)
-    ell: "BucketedEllPlan"    # residue (eperm in ORIGINAL edge ids)
+    bell: object              # BellPlan or None
+    ell: "BucketedEllPlan"    # residue
+    cells: object             # DenseCellPlan or None
     num_rows: int
     num_cols: int
     nnz: int
 
     def tree_flatten(self):
-        return (self.bell, self.ell), (self.num_rows, self.num_cols,
-                                       self.nnz)
+        return (self.bell, self.ell, self.cells), (
+            self.num_rows, self.num_cols, self.nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -410,11 +511,16 @@ class HybridPlan:
 
     @property
     def dense_fraction(self) -> float:
-        return self.bell.nnz / max(self.nnz, 1)
+        d = (self.bell.nnz if self.bell is not None else 0) + \
+            (self.cells.nnz if self.cells is not None else 0)
+        return d / max(self.nnz, 1)
 
     def pad_ratio(self) -> float:
-        padded = (self.bell.padded_edges
-                  + sum(rb * k for rb, k in zip(self.ell.rbs, self.ell.ks)))
+        """One-hot-tier slots per edge (the cells tier has no padding in
+        the gather sense; its cost is flat per cell)."""
+        padded = (self.bell.padded_edges if self.bell is not None else 0) \
+            + sum(rb * k for rb, k in zip(self.ell.rbs, self.ell.ks)) \
+            + (self.cells.nnz if self.cells is not None else 0)
         return padded / max(self.nnz, 1)
 
 
@@ -426,13 +532,17 @@ def build_hybrid_plan(
     row_block: int = 128,
     col_window: int = 128,
     min_cell_edges: int = 96,
+    dense_min_edges: int = 768,
+    cells_budget_bytes: int = 4 << 30,
 ):
-    """Split edges into dense-cell (BELL) and residue (bucketed ELL) parts.
+    """Three-way split of the edge set by (128-row x 128-col) cell fill:
+    >= dense_min_edges -> materialized dense cells (block-sparse GEMM),
+    >= min_cell_edges -> one-hot BELL tiles, else -> bucketed-ELL residue.
 
     Returns a HybridPlan, or None when fewer than 25% of edges live in
-    dense cells (plain bucketed ELL wins then). Both sub-plans carry
-    eperm/inv in ORIGINAL edge-id space, so values/gradients route without
-    extra remapping."""
+    cells above min_cell_edges (plain bucketed ELL wins then). All
+    sub-plans carry eperm/inv in ORIGINAL edge-id space, so values/
+    gradients route without extra remapping."""
     rowptr = np.asarray(jax.device_get(rowptr))
     col = np.asarray(jax.device_get(col))
     m = len(rowptr) - 1
@@ -453,33 +563,59 @@ def build_hybrid_plan(
     np.not_equal(cs[1:], cs[:-1], out=uniq_mask[1:])
     starts = np.nonzero(uniq_mask)[0]
     counts = np.diff(np.append(starts, nnz))
+    uniq_cells = cs[starts]
     min_edges = int(min_cell_edges)
-    dense_cells = counts >= min_edges
-    dense_mask_sorted = np.repeat(dense_cells, counts)
+    nonsparse_cells = counts >= min_edges
+    dense_mask_sorted = np.repeat(nonsparse_cells, counts)
     dense_edges = order[dense_mask_sorted]          # original edge ids
     if len(dense_edges) < 0.25 * nnz:
         return None
+
+    # cells tier: the densest cells, capped by the materialization budget
+    # (and the scalar-prefetch SMEM budget on cell count)
+    mat_cells = counts >= int(dense_min_edges)
+    max_cells = min(int(cells_budget_bytes) // (4 * row_block * col_window),
+                    65536)
+    if int(mat_cells.sum()) > max_cells:
+        cand = np.nonzero(mat_cells)[0]
+        keep = cand[np.argsort(counts[cand], kind="stable")[::-1]
+                    [:max_cells]]
+        mat_cells = np.zeros(len(counts), bool)
+        mat_cells[keep] = True
+    bell_cells = nonsparse_cells & ~mat_cells
+
+    mat_edges = order[np.repeat(mat_cells, counts)]
+    bell_edges = order[np.repeat(bell_cells, counts)]
     dense_edge_mask = np.zeros(nnz, bool)
     dense_edge_mask[dense_edges] = True
 
-    def sub_csr(mask):
-        ids = np.nonzero(mask)[0].astype(np.int32)  # original edge ids,
-        sub_col = col[ids]                          # CSR order preserved
+    cells = None
+    if len(mat_edges):
+        sel = uniq_cells[mat_cells]                  # sorted unique cells
+        cells = build_dense_cell_plan(
+            coo_row[mat_edges], col[mat_edges], mat_edges, sel, num_cw,
+            row_block, col_window, m, num_cols, nnz)
+
+    def sub_csr(ids):
+        ids = np.sort(ids).astype(np.int64)          # CSR order preserved
+        sub_col = col[ids]
         sub_deg = np.zeros(m, np.int64)
         np.add.at(sub_deg, coo_row[ids], 1)
         sub_rowptr = np.zeros(m + 1, np.int64)
         sub_rowptr[1:] = np.cumsum(sub_deg)
-        return sub_rowptr.astype(np.int32), sub_col, ids
+        return sub_rowptr.astype(np.int32), sub_col, ids.astype(np.int32)
 
-    b_rowptr, b_col, b_ids = sub_csr(dense_edge_mask)
-    e_rowptr, e_col, e_ids = sub_csr(~dense_edge_mask)
-    bell = build_bell_plan(b_rowptr, b_col, num_cols, edge_tile=edge_tile,
-                           row_block=row_block, col_window=col_window)
+    bell = None
+    if len(bell_edges):
+        b_rowptr, b_col, b_ids = sub_csr(bell_edges)
+        bell = build_bell_plan(b_rowptr, b_col, num_cols,
+                               edge_tile=edge_tile, row_block=row_block,
+                               col_window=col_window)
+        bp = np.asarray(bell.eperm)
+        bell.eperm = jnp.asarray(np.where(bp >= 0, b_ids[np.maximum(bp, 0)],
+                                          -1).astype(np.int32))
+    e_rowptr, e_col, e_ids = sub_csr(np.nonzero(~dense_edge_mask)[0])
     ell = build_bucketed_ell_plan(e_rowptr, e_col, num_cols)
-    # remap sub-plan edge ids to original ids
-    bp = np.asarray(bell.eperm)
-    bell.eperm = jnp.asarray(np.where(bp >= 0, b_ids[np.maximum(bp, 0)],
-                                      -1).astype(np.int32))
     ep = np.asarray(ell.eperm)
     ell.eperm = jnp.asarray(np.where(ep >= 0, e_ids[np.maximum(ep, 0)],
                                      -1).astype(np.int32))
@@ -488,8 +624,8 @@ def build_hybrid_plan(
     inv = np.zeros(nnz, np.int32)
     inv[e_ids] = np.asarray(ell.inv)
     ell.inv = jnp.asarray(inv)
-    return HybridPlan(bell=bell, ell=ell, num_rows=m, num_cols=num_cols,
-                      nnz=nnz)
+    return HybridPlan(bell=bell, ell=ell, cells=cells, num_rows=m,
+                      num_cols=num_cols, nnz=nnz)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -644,11 +780,32 @@ def build_bell_plan(
         vis_rb = tile_rb[runs]
         binv = np.empty(num_rb, np.int64)
         binv[vis_rb] = np.arange(len(vis_rb))
+        # cut at the LAST run boundary that keeps the chunk within the
+        # limit (cutting at the first boundary past it could overflow the
+        # SMEM budget by a long block run); a single run longer than the
+        # limit becomes its own over-budget chunk — assert against it.
         bounds = [0]
+        prev = None
         for r in runs[1:]:
-            if int(r) - bounds[-1] >= _BELL_CHUNK_TILES:
-                bounds.append(int(r))
+            r = int(r)
+            if r - bounds[-1] > _BELL_CHUNK_TILES:
+                bounds.append(prev if (prev is not None
+                                       and prev > bounds[-1]) else r)
+            prev = r
+        if t_total - bounds[-1] > _BELL_CHUNK_TILES and prev is not None \
+                and prev > bounds[-1]:
+            bounds.append(prev)
         bounds.append(t_total)
+        run_set = set(int(r) for r in runs)
+        for i in range(len(bounds) - 1):
+            # a chunk may exceed the budget only when it is ONE
+            # unsplittable block run (no interior run boundary)
+            if bounds[i + 1] - bounds[i] > _BELL_CHUNK_TILES:
+                interior = [r for r in run_set
+                            if bounds[i] < r < bounds[i + 1]]
+                assert not interior, (
+                    "BELL chunking left a splittable over-budget chunk "
+                    f"({bounds[i + 1] - bounds[i]} tiles)")
         lb = gb.copy()
         ch = []
         for i in range(len(bounds) - 1):

@@ -292,6 +292,116 @@ def spmm_bucketed_ell(
     return out
 
 
+def materialize_cells(plan, values: Optional[jax.Array]) -> jax.Array:
+    """In-graph dense-cell materialization (traced-values path): one sorted
+    1-D segment-sum of the dense-tier edge values into the flat cell slots.
+    For concrete values, Storage caches the host-built equivalent
+    (core/planner.materialize_cells_np)."""
+    if values is None:
+        v = jnp.ones(plan.slot.shape, jnp.float32)
+    else:
+        v = jnp.take(values, plan.eperm).astype(jnp.float32)
+    flat = jax.ops.segment_sum(v, plan.slot, num_segments=plan.cell_slots,
+                               indices_are_sorted=True)
+    return flat.reshape(plan.num_cells, plan.row_block, plan.col_window)
+
+
+def _cell_matmul_kernel(transpose: bool, compute_dtype,
+                        order_ref, seg_ref, win_ref,
+                        cells_ref, b_ref, out_ref):
+    """out[seg[t]] += cells[order[t]] @ b[win[t]] (or cellᵀ @ b when
+    transpose) — plain block-sparse GEMM over materialized dense cells.
+    seg is nondecreasing; consecutive equal segments accumulate in VMEM.
+    fp32 mode: Mosaic's Precision.HIGHEST multi-pass f32 matmul (unlike
+    the one-hot kernels, NEITHER operand is exact in bf16 here, so a
+    hi/lo split would lose ~2^-16 relative)."""
+    t = pl.program_id(0)
+    a = cells_ref[0]                                   # [R, C]
+    dims = (((0,), (0,)), ((), ())) if transpose else \
+        (((1,), (0,)), ((), ()))
+    if compute_dtype == jnp.float32:
+        partial = jax.lax.dot_general(
+            a, b_ref[:], dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    else:
+        partial = jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b_ref[:].astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+
+    prev = seg_ref[jnp.maximum(t - 1, 0)]
+    is_first = jnp.logical_or(t == 0, prev != seg_ref[t])
+
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = partial.astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = (out_ref[:].astype(jnp.float32) + partial).astype(
+            out_ref.dtype)
+
+
+def spmm_dense_cells(
+    plan,                      # core.planner.DenseCellPlan
+    cells: jax.Array,          # [ncells, R, C] materialized blocks (f32)
+    dense: jax.Array,          # [N, F] (fwd) / [M, F] grad (transpose)
+    transpose: bool = False,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Block-sparse GEMM tier: one [R,C]x[C,F] MXU pass per cell. Forward
+    computes row-block partials (out [M, F]); transpose computes
+    column-window partials of Aᵀ·dense (out [N, F]) reusing the SAME cell
+    array with swapped contraction dims — no transpose materialization."""
+    r, c = plan.row_block, plan.col_window
+    f = dense.shape[-1]
+    f_pad = _round_up(max(f, 128), 128)
+    if f_pad != f:
+        dense = jnp.pad(dense, ((0, 0), (0, f_pad - f)))
+    if transpose:
+        order, seg, win = plan.t_order, plan.t_cw, plan.t_rb
+        in_rows, in_blk = _round_up(plan.num_rows, r), r
+        out_rows, out_blk = plan.num_cols, c
+    else:
+        order = jnp.arange(plan.num_cells, dtype=jnp.int32)
+        seg, win = plan.cell_rb, plan.cell_cw
+        in_rows, in_blk = _round_up(plan.num_cols, c), c
+        out_rows, out_blk = plan.num_rows, r
+    if in_rows != dense.shape[0]:
+        dense = jnp.pad(dense, ((0, in_rows - dense.shape[0]), (0, 0)))
+    if compute_dtype != jnp.float32:
+        cells = cells.astype(jnp.bfloat16)
+        dense = dense.astype(jnp.bfloat16)
+
+    kernel = functools.partial(_cell_matmul_kernel, transpose,
+                               compute_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(plan.num_cells,),
+        in_specs=[
+            pl.BlockSpec((1, r, c), lambda t, o, s, w: (o[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_blk, f_pad), lambda t, o, s, w: (w[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((out_blk, f_pad),
+                               lambda t, o, s, w: (s[t], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((out_rows, f_pad), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.num_cells * r * c * f_pad,
+            bytes_accessed=plan.num_cells * (r * c + in_blk * f_pad) * 4
+            + out_rows * f_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(order, seg, win, cells, dense)
+    return out[:, :f] if f_pad != f else out
+
+
 def spmm_hybrid(
     plan,                      # core.planner.HybridPlan
     values: Optional[jax.Array],
@@ -299,19 +409,30 @@ def spmm_hybrid(
     reduce: ReduceOp = ReduceOp.SUM,
     degrees: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
-    w_slot=None,               # (bell_w, ell_w) or None
+    w_slot=None,               # dict {"bell","ell","cells"} or None
 ) -> jax.Array:
-    """Dense cells on the BELL MXU kernel + residue on bucketed ELL; the
-    two parts are row-partitioned sums, so out = bell + ell. MEAN divides
-    once at the end (both parts run as SUM)."""
+    """Three-tier SpMM: materialized dense cells (block GEMM) + BELL
+    one-hot MXU tiles + bucketed-ELL residue; all tiers are row-partitioned
+    partial sums, so out = cells + bell + ell. MEAN divides once at the end
+    (every tier runs as SUM)."""
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_hybrid handles SUM/MEAN only")
-    bw, ew = w_slot if w_slot is not None else (None, None)
-    out = spmm_bell(plan.bell, values, dense, ReduceOp.SUM,
-                    compute_dtype=compute_dtype,
-                    w_slot=bw).astype(jnp.float32)
-    out = out + spmm_bucketed_ell(plan.ell, values, dense, ReduceOp.SUM,
-                                  w_slot=ew).astype(jnp.float32)
+    w = w_slot if isinstance(w_slot, dict) else {}
+    out = None
+    if plan.cells is not None:
+        cells = w.get("cells")
+        if cells is None:
+            cells = materialize_cells(plan.cells, values)
+        out = spmm_dense_cells(plan.cells, cells, dense,
+                               compute_dtype=compute_dtype)
+    if plan.bell is not None:
+        b = spmm_bell(plan.bell, values, dense, ReduceOp.SUM,
+                      compute_dtype=compute_dtype,
+                      w_slot=w.get("bell")).astype(jnp.float32)
+        out = b if out is None else out + b
+    e = spmm_bucketed_ell(plan.ell, values, dense, ReduceOp.SUM,
+                          w_slot=w.get("ell")).astype(jnp.float32)
+    out = e if out is None else out + e
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")

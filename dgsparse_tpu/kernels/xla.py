@@ -126,6 +126,75 @@ def sddmm(
     return out
 
 
+# Largest gathered [chunk, F] buffer the chunked SDDMM materializes at
+# once; 115M-edge graphs at F=64 would need 29 GB un-chunked.
+_SDDMM_CHUNK_BUDGET = 256 << 20
+
+
+def sddmm_chunked(
+    coo_row: jax.Array,
+    col: jax.Array,
+    d1: jax.Array,
+    d2: jax.Array,
+    reduce: ReduceOp = ReduceOp.SUM,
+    degrees: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Edge-chunked SDDMM: identical semantics to `sddmm`, but the
+    [nnz, F] gather buffers are materialized one static chunk at a time so
+    graphs whose full contribution tensor exceeds HBM still run (the SpMM
+    lean-mode analog for SDDMM; role parity with the reference's
+    grid-strided launch, src/sddmm/sddmm.cu:8-41)."""
+    nnz = coo_row.shape[0]
+    f = d1.shape[-1]
+    per = max(_SDDMM_CHUNK_BUDGET // (4 * max(f, 1)), 1)
+    if nnz <= per:
+        return sddmm(coo_row, col, d1, d2, reduce, degrees)
+    outs = []
+    for e0 in range(0, nnz, per):
+        e1 = min(e0 + per, nnz)
+        r = jax.lax.slice(coo_row, (e0,), (e1,))
+        c = jax.lax.slice(col, (e0,), (e1,))
+        outs.append(jnp.einsum("ef,ef->e", jnp.take(d1, r, axis=0),
+                               jnp.take(d2, c, axis=0)))
+    out = jnp.concatenate(outs)
+    if reduce == ReduceOp.MEAN:
+        if degrees is None:
+            raise ValueError("degrees required for MEAN sddmm")
+        deg = jnp.take(jnp.maximum(degrees, 1).astype(out.dtype), coo_row)
+        out = out / deg
+    return out
+
+
+def sddmm_bwd_chunked(
+    seg_ids: jax.Array,      # [nnz] segment ids (coo_row or csc_col), sorted
+    other_ids: jax.Array,    # [nnz] gather ids (col or row_csc)
+    g: jax.Array,            # [nnz] cotangent (same edge order)
+    other: jax.Array,        # [N_other, F] the gathered dense operand
+    num_segments: int,
+) -> jax.Array:
+    """Chunked d_d1/d_d2 for SDDMM: segment_sum of g[e]*other[other_ids[e]]
+    one edge chunk at a time (each chunk's partial covers all segments —
+    absolute ids stay sorted within a chunk — and partials add)."""
+    nnz = seg_ids.shape[0]
+    f = other.shape[-1]
+    per = max(_SDDMM_CHUNK_BUDGET // (4 * max(f, 1)), 1)
+    if nnz <= per:
+        return jax.ops.segment_sum(
+            jnp.take(other, other_ids, axis=0) * g[:, None], seg_ids,
+            num_segments=num_segments, indices_are_sorted=True)
+    out = None
+    for e0 in range(0, nnz, per):
+        e1 = min(e0 + per, nnz)
+        sid = jax.lax.slice(seg_ids, (e0,), (e1,))
+        oid = jax.lax.slice(other_ids, (e0,), (e1,))
+        gc = jax.lax.slice(g, (e0,), (e1,))
+        part = jax.ops.segment_sum(
+            jnp.take(other, oid, axis=0) * gc[:, None], sid,
+            num_segments=num_segments, indices_are_sorted=True)
+        out = part if out is None else out + part
+    return out
+
+
 def gspmm_forward(
     coo_row: jax.Array,
     col: jax.Array,

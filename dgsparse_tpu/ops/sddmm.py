@@ -50,7 +50,7 @@ def _sddmm(reduce: ReduceOp, num_rows: int, num_cols: int, use_pallas: bool,
         from dgsparse_tpu.kernels.pallas_sddmm import sddmm_esc
 
         return sddmm_esc(plan_fwd, d1, d2, reduce, degrees)
-    return kx.sddmm(coo_row, col, d1, d2, reduce, degrees)
+    return kx.sddmm_chunked(coo_row, col, d1, d2, reduce, degrees)
 
 
 def _sddmm_fwd(reduce, num_rows, num_cols, use_pallas, idx, d1, d2):
@@ -75,19 +75,11 @@ def _sddmm_bwd(reduce, num_rows, num_cols, use_pallas, residuals, g):
         d_d1 = spmm_esc(plan_fwd, g, d2).astype(d1.dtype)
         d_d2 = spmm_esc(plan_bwd, jnp.take(g, perm), d1).astype(d2.dtype)
     else:
-        d_d1 = jax.ops.segment_sum(
-            jnp.take(d2, col, axis=0) * g[:, None],
-            coo_row,
-            num_segments=num_rows,
-            indices_are_sorted=True,
-        ).astype(d1.dtype)
+        d_d1 = kx.sddmm_bwd_chunked(coo_row, col, g, d2,
+                                    num_rows).astype(d1.dtype)
         g_csc = jnp.take(g, perm)
-        d_d2 = jax.ops.segment_sum(
-            jnp.take(d1, row_csc, axis=0) * g_csc[:, None],
-            csc_col,
-            num_segments=num_cols,
-            indices_are_sorted=True,
-        ).astype(d2.dtype)
+        d_d2 = kx.sddmm_bwd_chunked(csc_col, row_csc, g_csc, d1,
+                                    num_cols).astype(d2.dtype)
     return jax.tree.map(_int_zero, idx), d_d1, d_d2
 
 

@@ -35,7 +35,8 @@ import numpy as np
 
 # test hook: force the compact ESC spconv path off-TPU
 _FORCE_ESC = [False]
-# fused Pallas kernel knob: None = auto (TPU + size gate), True/False force
+# fused Pallas kernel knob: None/False = off (the fused tier measured
+# slower than ESC on v5e — docs/BENCHMARKS.md §4), True = force it on
 _FORCE_FUSED = [None]
 
 

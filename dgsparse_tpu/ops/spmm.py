@@ -46,7 +46,8 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
-    vslot = vslot if has_value else None
+    # vslot survives has_value=False: the ones-default build caches the
+    # hybrid dense-cell materialization (all other entries are None there)
 
     algorithm = _resolve_algorithm(algorithm, plan_fwd, bell_fwd,
                                    col.shape[0], reduce, ell_fwd)
@@ -97,7 +98,8 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                     spmm_ell_maxmin
 
                 w = (vslot["ell"] if vslot is not None
-                     and not isinstance(vslot["ell"], tuple) else None)
+                     and not isinstance(vslot["ell"], (tuple, dict))
+                     else None)
                 return spmm_ell_maxmin(ell_fwd, vals, dense, reduce,
                                        w_slot=w)
             if plan_fwd.padded_edges >= 2 ** 24:
@@ -171,8 +173,6 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
      bell_fwd, bell_bwd, ell_fwd, csc_col, vslot) = idx
     num_rows = rowptr.shape[0] - 1
     nnz = col.shape[0]
-    vslot = vslot if has_value else None
-
     if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
         if reduce == ReduceOp.MEAN:
             deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1).astype(g.dtype)
@@ -381,8 +381,8 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     values = sparse.values_or_ones()
     # slot caches are only valid for the exact values array the Storage was
     # built with (identity check — set_values/tracers rebuild or clear them)
-    vslot = st.vslot() if (sparse.has_value
-                           and values is st.values()) else None
+    vslot = st.vslot() if (not sparse.has_value
+                           or values is st.values()) else None
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True),
            st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan(),

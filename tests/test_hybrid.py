@@ -35,11 +35,22 @@ def test_hybrid_plan_built_and_partitions_edges():
     plan = build_hybrid_plan(rowptr, col, 1500)
     assert isinstance(plan, HybridPlan)
     assert plan.dense_fraction >= 0.3
-    # every edge appears exactly once across the two sub-plans
-    be = np.asarray(plan.bell.eperm)
+    # every edge appears exactly once across the three tiers
+    parts = []
+    if plan.bell is not None:
+        be = np.asarray(plan.bell.eperm)
+        parts.append(be[be >= 0])
+    if plan.cells is not None:
+        parts.append(np.asarray(plan.cells.eperm))
     ee = np.asarray(plan.ell.eperm)
-    ids = np.concatenate([be[be >= 0], ee[ee >= 0]])
+    parts.append(ee[ee >= 0])
+    ids = np.concatenate(parts)
     np.testing.assert_array_equal(np.sort(ids), np.arange(len(col)))
+    # clustered test graph: communities are dense enough to materialize
+    assert plan.cells is not None and plan.cells.num_cells > 0
+    # dense-cell slots are sorted (segment-sum contract)
+    slot = np.asarray(plan.cells.slot)
+    assert np.all(np.diff(slot) >= 0)
 
 
 def test_hybrid_plan_none_on_sparse_graph():

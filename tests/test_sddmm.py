@@ -85,3 +85,29 @@ def test_spmm_sddmm_adjoint_consistency():
     rhs = jnp.vdot(jnp.asarray(values),
                    sddmm(sp, jnp.asarray(g), jnp.asarray(b)))
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
+def test_sddmm_chunked_matches_unchunked(monkeypatch):
+    """Edge-chunked SDDMM (lean mode for 100M+-edge graphs) is exact."""
+    import jax
+
+    from dgsparse_tpu.kernels import xla as kx
+
+    monkeypatch.setattr(kx, "_SDDMM_CHUNK_BUDGET", 1024)
+    rng = np.random.default_rng(0)
+    m = n = 200
+    nnz = 5000
+    row = np.sort(rng.integers(0, m, nnz)).astype(np.int32)
+    col = rng.integers(0, n, nnz).astype(np.int32)
+    d1 = jnp.asarray(rng.standard_normal((m, 16)).astype(np.float32))
+    d2 = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+    out = kx.sddmm_chunked(jnp.asarray(row), jnp.asarray(col), d1, d2)
+    ref = kx.sddmm(jnp.asarray(row), jnp.asarray(col), d1, d2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    g = jnp.asarray(rng.standard_normal(nnz).astype(np.float32))
+    b1 = kx.sddmm_bwd_chunked(jnp.asarray(row), jnp.asarray(col), g, d2, m)
+    r1 = jax.ops.segment_sum(
+        jnp.take(d2, jnp.asarray(col), axis=0) * g[:, None],
+        jnp.asarray(row), num_segments=m, indices_are_sorted=True)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(r1), rtol=1e-5,
+                               atol=1e-5)
