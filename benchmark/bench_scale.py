@@ -164,7 +164,8 @@ def bench_reddit_lean(name, rowptr, col, feat, chunks=16):
 def bench_reddit_hybrid(name, rowptr, col, feat):
     """Hybrid BELL+ELL benchmark (plan built standalone, lean tensor):
     dense cells on the MXU, residue on bucketed ELL."""
-    from dgsparse_tpu.core.planner import build_hybrid_plan
+    from dgsparse_tpu.core.planner import (build_hybrid_plan,
+                                           materialize_cells_np)
     from dgsparse_tpu.kernels.pallas_spmm import spmm_hybrid
     from dgsparse_tpu.utils.bench import time_pytree_2pt
 
@@ -177,7 +178,14 @@ def bench_reddit_hybrid(name, rowptr, col, feat):
         return []
     log(f"[{name}] hybrid plan {time.perf_counter()-t0:.1f}s "
         f"dense={plan.dense_fraction*100:.0f}% pad={plan.pad_ratio():.2f} "
-        f"bell_tiles={plan.bell.num_tiles}")
+        f"cells={plan.cells.num_cells if plan.cells is not None else 0} "
+        f"bell_tiles={plan.bell.num_tiles if plan.bell is not None else 0}")
+    w = None
+    if plan.cells is not None:
+        t0 = time.perf_counter()
+        w = {"cells": jnp.asarray(materialize_cells_np(plan.cells, None))}
+        log(f"[{name}] cells materialized {time.perf_counter()-t0:.1f}s "
+            f"({w['cells'].nbytes / 1e6:.0f} MB)")
     rng = np.random.default_rng(1)
     b = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
     rows = []
@@ -186,9 +194,10 @@ def bench_reddit_hybrid(name, rowptr, col, feat):
         # HLO literal constants, and a 1.3 GB plan blows the remote
         # compiler's request-size limit (observed HTTP 413)
         dt = time_pytree_2pt(
-            lambda x, pl, cd=cd: spmm_hybrid(pl, None, x,
-                                             compute_dtype=cd),
-            (b, plan), iters=(3, 9), repeats=3)
+            lambda x, pl, ww, cd=cd: spmm_hybrid(pl, None, x,
+                                                 compute_dtype=cd,
+                                                 w_slot=ww),
+            (b, plan, w), iters=(3, 9), repeats=3)
         rows.append(_row(name, f"PALLAS_HYBRID[{tag}]", nnz, m, n, feat,
                          dt))
     return rows

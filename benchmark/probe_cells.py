@@ -92,11 +92,14 @@ def main():
             w = {"cells": cells}
             log(f"  materialize_np {time.perf_counter()-t0:.1f}s "
                 f"({cells.nbytes/1e6:.0f} MB)")
+        # plans/weights passed as jit ARGUMENTS (closure-captured arrays
+        # embed as HLO constants and blow the tunnel's remote-compile
+        # request limit at 100M+ edges: HTTP 413)
         for cd in (jnp.float32, jnp.bfloat16):
             dt = time_pytree_2pt(
-                lambda x: spmm_hybrid(plan, None, x, ReduceOp.SUM,
-                                      compute_dtype=cd, w_slot=w),
-                (b,), iters=(10, 30), repeats=3)
+                lambda x, p, ww: spmm_hybrid(p, None, x, ReduceOp.SUM,
+                                             compute_dtype=cd, w_slot=ww),
+                (b, plan, w), iters=(10, 30), repeats=3)
             gf = 2 * nnz * feat / dt / 1e9
             roof = roof_bytes / dt / 819e9
             log(f"  [{name} {cd.__name__}] {dt*1e3:.1f} ms  {gf:.1f} GF/s "
@@ -105,9 +108,9 @@ def main():
             # cells tier alone
             for cd in (jnp.float32, jnp.bfloat16):
                 dt = time_pytree_2pt(
-                    lambda x: spmm_dense_cells(plan.cells, cells, x,
-                                               compute_dtype=cd),
-                    (b,), iters=(10, 30), repeats=3)
+                    lambda x, p, c: spmm_dense_cells(p, c, x,
+                                                     compute_dtype=cd),
+                    (b, plan.cells, cells), iters=(10, 30), repeats=3)
                 log(f"  [cells-only {cd.__name__}] {dt*1e3:.2f} ms "
                     f"({dt/max(nc,1)*1e6:.2f} us/cell)")
 

@@ -219,7 +219,13 @@ class Storage:
                             self._ell_fwd = bek
             # BELL 2D plans only pay off when cells genuinely fill (measured:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.
-            if nnz >= 4096 and nnz / max(num_rows, 1) >= 32 and not ell_only:
+            # A hybrid plan supersedes the full-graph BELL on both the
+            # forward (AUTO prefers it) and the backward (transpose-hybrid
+            # path), so skip the two full-graph lexsorts then.
+            from dgsparse_tpu.core.planner import HybridPlan as _HP
+
+            if nnz >= 4096 and nnz / max(num_rows, 1) >= 32 \
+                    and not ell_only and not isinstance(self._ell_fwd, _HP):
                 bell = build_bell_plan(rowptr_np, col_np, num_cols)
                 if bell.pad_ratio() <= 1.5:
                     self._bell_fwd = bell
@@ -281,6 +287,8 @@ class Storage:
                     "cells": (jnp.asarray(
                         materialize_cells_np(hp.cells, vals_np))
                         if hp.cells is not None else None),
+                    "ell_t": (slotw(hp.ell_t, vals_np)
+                              if hp.ell_t is not None else None),
                 }
             else:
                 ell_w = slotw(self._ell_fwd, vals_np)

@@ -436,18 +436,18 @@ def materialize_cells_np(plan: DenseCellPlan, values) -> np.ndarray:
     values: [nnz_global] numpy or None (ones)."""
     slot = np.asarray(jax.device_get(plan.slot))
     n = plan.cell_slots
-    flat = np.zeros(n, np.float32)
-    if len(slot):
-        v = (np.ones(len(slot), np.float32) if values is None
-             else np.asarray(values)[np.asarray(
-                 jax.device_get(plan.eperm))].astype(np.float32))
-        # sorted slots: sum duplicate runs with reduceat, one store per
-        # unique slot (np.add.at is ~50x slower at 100M edges)
-        uniq_mask = np.empty(len(slot), bool)
-        uniq_mask[0] = True
-        np.not_equal(slot[1:], slot[:-1], out=uniq_mask[1:])
-        starts = np.nonzero(uniq_mask)[0]
-        flat[slot[starts]] = np.add.reduceat(v, starts)
+    if not len(slot):
+        return np.zeros((plan.num_cells, plan.row_block, plan.col_window),
+                        np.float32)
+    if values is None:
+        # unweighted: the cell entry is the (row, col) multiplicity
+        flat = np.bincount(slot, minlength=n).astype(np.float32)
+    else:
+        v = np.asarray(values)[np.asarray(
+            jax.device_get(plan.eperm))].astype(np.float64)
+        # bincount-with-weights is a single C pass (np.add.at and
+        # per-segment reduceat both measured 100x slower at 92M edges)
+        flat = np.bincount(slot, weights=v, minlength=n).astype(np.float32)
     return flat.reshape(plan.num_cells, plan.row_block, plan.col_window)
 
 
@@ -497,12 +497,17 @@ class HybridPlan:
     bell: object              # BellPlan or None
     ell: "BucketedEllPlan"    # residue
     cells: object             # DenseCellPlan or None
+    # transpose plan for the backward's d_dense = Aᵀ·g: the cells tier
+    # transposes for FREE (same materialized blocks, swapped contraction
+    # dims + t_order), so only the non-cells edges need this transpose
+    # bucketed-ELL plan (None when not built).
+    ell_t: object
     num_rows: int
     num_cols: int
     nnz: int
 
     def tree_flatten(self):
-        return (self.bell, self.ell, self.cells), (
+        return (self.bell, self.ell, self.cells, self.ell_t), (
             self.num_rows, self.num_cols, self.nnz)
 
     @classmethod
@@ -552,55 +557,80 @@ def build_hybrid_plan(
     deg = np.diff(rowptr)
     coo_row = np.repeat(np.arange(m, dtype=np.int64), deg)
     num_cw = max(-(-num_cols // col_window), 1)
-    cell = (coo_row // row_block) * num_cw + col.astype(np.int64) \
-        // col_window
-    # count edges per touched cell via sort (cells of one row block are
-    # contiguous in edge order already; full sort keeps it simple)
-    order = np.argsort(cell, kind="stable")
-    cs = cell[order]
-    uniq_mask = np.empty(nnz, bool)
-    uniq_mask[0] = True
-    np.not_equal(cs[1:], cs[:-1], out=uniq_mask[1:])
-    starts = np.nonzero(uniq_mask)[0]
-    counts = np.diff(np.append(starts, nnz))
-    uniq_cells = cs[starts]
-    min_edges = int(min_cell_edges)
-    nonsparse_cells = counts >= min_edges
-    dense_mask_sorted = np.repeat(nonsparse_cells, counts)
-    dense_edges = order[dense_mask_sorted]          # original edge ids
-    if len(dense_edges) < 0.25 * nnz:
-        return None
-
-    # cells tier: the densest cells, capped by the materialization budget
-    # (and the scalar-prefetch SMEM budget on cell count)
-    mat_cells = counts >= int(dense_min_edges)
     max_cells = min(int(cells_budget_bytes) // (4 * row_block * col_window),
                     65536)
-    if int(mat_cells.sum()) > max_cells:
-        cand = np.nonzero(mat_cells)[0]
-        keep = cand[np.argsort(counts[cand], kind="stable")[::-1]
-                    [:max_cells]]
-        mat_cells = np.zeros(len(counts), bool)
-        mat_cells[keep] = True
-    bell_cells = nonsparse_cells & ~mat_cells
-
-    mat_edges = order[np.repeat(mat_cells, counts)]
-    bell_edges = order[np.repeat(bell_cells, counts)]
-    dense_edge_mask = np.zeros(nnz, bool)
-    dense_edge_mask[dense_edges] = True
 
     cells = None
-    if len(mat_edges):
-        sel = uniq_cells[mat_cells]                  # sorted unique cells
-        cells = build_dense_cell_plan(
-            coo_row[mat_edges], col[mat_edges], mat_edges, sel, num_cw,
-            row_block, col_window, m, num_cols, nnz)
+    bell_edges = res_ids = None
+    nat = None
+    if nnz >= (1 << 20):
+        from dgsparse_tpu import native
+
+        nat = native.cell_split(rowptr, col, m, num_cols, row_block,
+                                col_window, int(min_cell_edges),
+                                int(dense_min_edges), max_cells)
+    if nat is not None:
+        d_slot, d_eperm, cell_rb, cell_cw, bell_edges, res_ids = nat
+        if nnz - len(res_ids) < 0.25 * nnz:
+            return None
+        if len(d_slot):
+            t_order = np.lexsort((cell_rb, cell_cw)).astype(np.int32)
+            cells = DenseCellPlan(
+                slot=jnp.asarray(d_slot), eperm=jnp.asarray(d_eperm),
+                cell_rb=jnp.asarray(cell_rb), cell_cw=jnp.asarray(cell_cw),
+                t_order=jnp.asarray(t_order),
+                t_rb=jnp.asarray(cell_rb[t_order]),
+                t_cw=jnp.asarray(cell_cw[t_order]),
+                num_cells=len(cell_rb), row_block=row_block,
+                col_window=col_window, num_rows=m, num_cols=num_cols,
+                nnz=len(d_slot))
+    else:
+        cell = (coo_row // row_block) * num_cw + col.astype(np.int64) \
+            // col_window
+        # count edges per touched cell via sort (cells of one row block are
+        # contiguous in edge order already; full sort keeps it simple)
+        order = np.argsort(cell, kind="stable")
+        cs = cell[order]
+        uniq_mask = np.empty(nnz, bool)
+        uniq_mask[0] = True
+        np.not_equal(cs[1:], cs[:-1], out=uniq_mask[1:])
+        starts = np.nonzero(uniq_mask)[0]
+        counts = np.diff(np.append(starts, nnz))
+        uniq_cells = cs[starts]
+        min_edges = int(min_cell_edges)
+        nonsparse_cells = counts >= min_edges
+        dense_mask_sorted = np.repeat(nonsparse_cells, counts)
+        dense_edges = order[dense_mask_sorted]          # original edge ids
+        if len(dense_edges) < 0.25 * nnz:
+            return None
+
+        # cells tier: the densest cells, capped by the materialization
+        # budget (and the scalar-prefetch SMEM budget on cell count)
+        mat_cells = counts >= int(dense_min_edges)
+        if int(mat_cells.sum()) > max_cells:
+            cand = np.nonzero(mat_cells)[0]
+            keep = cand[np.argsort(counts[cand], kind="stable")[::-1]
+                        [:max_cells]]
+            mat_cells = np.zeros(len(counts), bool)
+            mat_cells[keep] = True
+        bell_cells = nonsparse_cells & ~mat_cells
+
+        mat_edges = order[np.repeat(mat_cells, counts)]
+        bell_edges = np.sort(order[np.repeat(bell_cells, counts)])
+        dense_edge_mask = np.zeros(nnz, bool)
+        dense_edge_mask[dense_edges] = True
+        res_ids = np.nonzero(~dense_edge_mask)[0]
+
+        if len(mat_edges):
+            sel = uniq_cells[mat_cells]                # sorted unique cells
+            cells = build_dense_cell_plan(
+                coo_row[mat_edges], col[mat_edges], mat_edges, sel, num_cw,
+                row_block, col_window, m, num_cols, nnz)
 
     def sub_csr(ids):
-        ids = np.sort(ids).astype(np.int64)          # CSR order preserved
+        ids = np.asarray(ids, np.int64)              # CSR order (sorted)
         sub_col = col[ids]
-        sub_deg = np.zeros(m, np.int64)
-        np.add.at(sub_deg, coo_row[ids], 1)
+        sub_deg = np.bincount(coo_row[ids], minlength=m).astype(np.int64)
         sub_rowptr = np.zeros(m + 1, np.int64)
         sub_rowptr[1:] = np.cumsum(sub_deg)
         return sub_rowptr.astype(np.int32), sub_col, ids.astype(np.int32)
@@ -614,7 +644,7 @@ def build_hybrid_plan(
         bp = np.asarray(bell.eperm)
         bell.eperm = jnp.asarray(np.where(bp >= 0, b_ids[np.maximum(bp, 0)],
                                           -1).astype(np.int32))
-    e_rowptr, e_col, e_ids = sub_csr(np.nonzero(~dense_edge_mask)[0])
+    e_rowptr, e_col, e_ids = sub_csr(res_ids)
     ell = build_bucketed_ell_plan(e_rowptr, e_col, num_cols)
     ep = np.asarray(ell.eperm)
     ell.eperm = jnp.asarray(np.where(ep >= 0, e_ids[np.maximum(ep, 0)],
@@ -624,8 +654,31 @@ def build_hybrid_plan(
     inv = np.zeros(nnz, np.int32)
     inv[e_ids] = np.asarray(ell.inv)
     ell.inv = jnp.asarray(inv)
-    return HybridPlan(bell=bell, ell=ell, cells=cells, num_rows=m,
-                      num_cols=num_cols, nnz=nnz)
+
+    # transpose plan over the NON-cells edges for the backward's d_dense
+    # (the cells tier transposes via the same materialized blocks)
+    nd_ids = np.sort(np.concatenate([
+        np.asarray(bell_edges, np.int64), np.asarray(res_ids, np.int64)]))
+    nd_rowptr, nd_col, nd_ids = sub_csr(nd_ids)
+    from dgsparse_tpu import native as _native
+
+    t = _native.csr2csc(nd_rowptr, nd_col, m, num_cols)
+    if t is not None:
+        colptr_t, row_t, perm_t = t
+    else:
+        order_t = np.argsort(nd_col, kind="stable")
+        colptr_t = np.zeros(num_cols + 1, np.int64)
+        colptr_t[1:] = np.cumsum(np.bincount(nd_col, minlength=num_cols))
+        colptr_t = colptr_t.astype(np.int32)
+        coo_nd = coo_row[nd_ids.astype(np.int64)]
+        row_t = coo_nd[order_t].astype(np.int32)
+        perm_t = order_t.astype(np.int32)
+    ell_t = build_bucketed_ell_plan(colptr_t, row_t, m)
+    tp = np.asarray(ell_t.eperm)
+    ell_t.eperm = jnp.asarray(np.where(
+        tp >= 0, nd_ids[perm_t[np.maximum(tp, 0)]], -1).astype(np.int32))
+    return HybridPlan(bell=bell, ell=ell, cells=cells, ell_t=ell_t,
+                      num_rows=m, num_cols=num_cols, nnz=nnz)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -402,6 +402,32 @@ def spmm_dense_cells(
     return out[:, :f] if f_pad != f else out
 
 
+def spmm_hybrid_t(
+    plan,                      # core.planner.HybridPlan
+    values: Optional[jax.Array],
+    g: jax.Array,              # [M, F] cotangent rows
+    compute_dtype=jnp.float32,
+    w_slot=None,               # dict {"cells","ell_t"} or None
+) -> jax.Array:
+    """d_dense = Aᵀ·g for a hybrid-planned A: the dense-cell tier reuses
+    the SAME materialized blocks with swapped contraction dims (zero extra
+    plan state); the non-cells edges run on the transpose bucketed-ELL
+    plan. Returns [N, F] float32."""
+    w = w_slot if isinstance(w_slot, dict) else {}
+    out = None
+    if plan.cells is not None:
+        cells = w.get("cells")
+        if cells is None:
+            cells = materialize_cells(plan.cells, values)
+        out = spmm_dense_cells(plan.cells, cells, g, transpose=True,
+                               compute_dtype=compute_dtype)
+    if plan.ell_t is not None:
+        e = spmm_bucketed_ell(plan.ell_t, values, g,
+                              w_slot=w.get("ell_t")).astype(jnp.float32)
+        out = e if out is None else out + e
+    return out
+
+
 def spmm_hybrid(
     plan,                      # core.planner.HybridPlan
     values: Optional[jax.Array],

@@ -71,6 +71,14 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _I32P, _I32P, _I32P, _I32P, _I64P]
         lib.dg_rulebook_strided.restype = ctypes.c_int64
+        lib.dg_cell_split_count.argtypes = [
+            _I32P, _I32P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _I64P]
+        lib.dg_cell_split_fill.argtypes = [
+            _I32P, _I32P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _I32P, _I32P, _I32P, _I32P, _I32P, _I32P]
         lib.dg_version.restype = ctypes.c_int32
         _LIB = lib
     except Exception:
@@ -115,6 +123,42 @@ def plan_edge_tiles(rowptr: np.ndarray, col: np.ndarray, edge_tile: int,
     lib.dg_plan_fill(rowptr, col, nrow, edge_tile, row_block,
                      int(sort_cols), cols, eperm, lrow, tile_rb)
     return cols, eperm, lrow, tile_rb
+
+
+def cell_split(rowptr: np.ndarray, col: np.ndarray, num_rows: int,
+               num_cols: int, row_block: int, col_window: int,
+               min_cell: int, dense_min: int, max_cells: int):
+    """Native 3-tier hybrid cell split (counting sorts, O(nnz + cells)).
+
+    Returns (d_slot, d_eperm, cell_rb, cell_cw, bell_ids, res_ids) or None
+    (no lib, or the cell grid is too large for the per-cell count array).
+    d_slot/d_eperm are slot-sorted with CSR-stable ties — identical layout
+    to the numpy twin in core/planner.build_dense_cell_plan."""
+    lib = load()
+    if lib is None:
+        return None
+    nrb = max(-(-num_rows // row_block), 1)
+    ncw = max(-(-num_cols // col_window), 1)
+    if nrb * ncw > (1 << 28):     # per-cell count array would exceed ~1 GB
+        return None
+    rowptr = np.ascontiguousarray(rowptr, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    sizes = np.zeros(5, np.int64)
+    lib.dg_cell_split_count(rowptr, col, num_rows, num_cols, row_block,
+                            col_window, min_cell, dense_min, max_cells,
+                            sizes)
+    n_dense, n_bell, n_res, n_sel, _ = (int(x) for x in sizes)
+    d_slot = np.empty(n_dense, np.int32)
+    d_eperm = np.empty(n_dense, np.int32)
+    cell_rb = np.empty(n_sel, np.int32)
+    cell_cw = np.empty(n_sel, np.int32)
+    bell_ids = np.empty(n_bell, np.int32)
+    res_ids = np.empty(n_res, np.int32)
+    lib.dg_cell_split_fill(rowptr, col, num_rows, num_cols, row_block,
+                           col_window, min_cell, dense_min, max_cells,
+                           d_slot, d_eperm, cell_rb, cell_cw, bell_ids,
+                           res_ids)
+    return d_slot, d_eperm, cell_rb, cell_cw, bell_ids, res_ids
 
 
 def rulebook_subm(coords: np.ndarray, ks: Tuple[int, int, int],

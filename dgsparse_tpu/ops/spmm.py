@@ -179,16 +179,35 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             g = g / deg[:, None]
         # d_values = SDDMM(grad, dense): per-edge dot (src/spmm.cpp:66).
         # Always the 2-row-gather XLA formulation — measured faster than
-        # the Pallas sddmm kernel at every scale (see ops/sddmm.py).
+        # the Pallas sddmm kernel at every scale (see ops/sddmm.py);
+        # edge-chunked so 100M+-edge graphs fit.
         if not has_value:
             d_values = jnp.zeros_like(values)
         else:
-            d_values = kx.sddmm(coo_row, col, g, dense).astype(values.dtype)
+            d_values = kx.sddmm_chunked(coo_row, col, g,
+                                        dense).astype(values.dtype)
         # d_dense = A^T · grad via cached CSC (src/spmm.cpp:72-74), on the
         # same kernel path as the forward (transpose plans for Pallas).
-        alg = _resolve_algorithm(algorithm, plan_bwd, bell_bwd, nnz,
-                                 ReduceOp.SUM)
-        if alg == Algorithm.PALLAS_BELL and bell_bwd is not None:
+        from dgsparse_tpu.core.planner import HybridPlan
+
+        # pass ell only for hybrid plans: the transpose of a plain ELL
+        # forward still routes through the bwd plans below
+        alg = _resolve_algorithm(
+            algorithm, plan_bwd, bell_bwd, nnz, ReduceOp.SUM,
+            ell_fwd if isinstance(ell_fwd, HybridPlan) else None)
+        if alg == Algorithm.PALLAS_ROW_TILE \
+                and isinstance(ell_fwd, HybridPlan) \
+                and ell_fwd.ell_t is not None:
+            # hybrid transpose: dense cells reuse the SAME materialized
+            # blocks with swapped contraction dims; residue runs the
+            # transpose bucketed-ELL plan
+            from dgsparse_tpu.kernels import pallas_spmm as kp
+
+            w = vslot["ell"] if vslot is not None else None
+            d_dense = kp.spmm_hybrid_t(
+                ell_fwd, values if has_value else None, g,
+                w_slot=w).astype(dense.dtype)
+        elif alg == Algorithm.PALLAS_BELL and bell_bwd is not None:
             from dgsparse_tpu.kernels import pallas_spmm as kp
 
             if vslot is not None:

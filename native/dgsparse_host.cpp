@@ -320,6 +320,173 @@ int64_t dg_rulebook_strided(const int32_t* coords, int64_t n, int32_t k0,
   return num_out;
 }
 
-int32_t dg_version() { return 10; }
+// ---------------------------------------------------------------------------
+// Hybrid cell-split planner (core/planner.py build_hybrid_plan's hot path).
+//
+// Classifies every (row_block x col_window) cell of the CSR structure by
+// edge count into three tiers (materialized-dense / one-hot BELL /
+// bucketed-ELL residue) and emits, for the dense tier, the slot-sorted
+// edge layout the device-side segment-sum materialization consumes. The
+// numpy twin costs two 100M+-element argsorts at Reddit scale; this is
+// counting sorts end-to-end, O(nnz + cells).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct CellSplit {
+  int32_t nrb, ncw;
+  std::vector<int32_t> counts;   // per cell
+  std::vector<uint8_t> tier;     // 0=residue, 1=bell, 2=dense
+  std::vector<int64_t> sel;      // selected dense cell ids, ascending
+  int64_t n_dense = 0, n_bell = 0, n_res = 0;
+};
+
+void cell_classify(const int32_t* rowptr, const int32_t* col, int32_t m,
+                   int32_t n, int32_t R, int32_t C, int32_t min_cell,
+                   int32_t dense_min, int32_t max_cells, CellSplit* cs) {
+  cs->nrb = std::max((m + R - 1) / R, 1);
+  cs->ncw = std::max((n + C - 1) / C, 1);
+  int64_t ncells = (int64_t)cs->nrb * cs->ncw;
+  cs->counts.assign(ncells, 0);
+  for (int32_t r = 0; r < m; ++r) {
+    int64_t base = (int64_t)(r / R) * cs->ncw;
+    for (int32_t e = rowptr[r]; e < rowptr[r + 1]; ++e)
+      cs->counts[base + col[e] / C]++;
+  }
+  cs->tier.assign(ncells, 0);
+  std::vector<int32_t> cand_counts;
+  for (int64_t c = 0; c < ncells; ++c) {
+    if (cs->counts[c] >= dense_min) {
+      cs->tier[c] = 2;
+      cand_counts.push_back(cs->counts[c]);
+    } else if (cs->counts[c] >= min_cell) {
+      cs->tier[c] = 1;
+    }
+  }
+  if ((int64_t)cand_counts.size() > max_cells) {
+    // threshold rule: keep counts > kth largest, then == kth in ascending
+    // cell-id order until max_cells (deterministic, matches the Python
+    // twin's rule)
+    std::nth_element(cand_counts.begin(), cand_counts.begin() + max_cells - 1,
+                     cand_counts.end(), std::greater<int32_t>());
+    int32_t kth = cand_counts[max_cells - 1];
+    int64_t above = 0;
+    for (int64_t c = 0; c < ncells; ++c)
+      if (cs->tier[c] == 2 && cs->counts[c] > kth) ++above;
+    int64_t quota = max_cells - above;
+    for (int64_t c = 0; c < ncells; ++c) {
+      if (cs->tier[c] != 2) continue;
+      if (cs->counts[c] > kth) continue;
+      if (cs->counts[c] == kth && quota > 0) {
+        --quota;
+        continue;
+      }
+      cs->tier[c] = 1;  // demote to bell tier
+    }
+  }
+  for (int64_t c = 0; c < ncells; ++c) {
+    if (cs->tier[c] == 2) {
+      cs->sel.push_back(c);
+      cs->n_dense += cs->counts[c];
+    } else if (cs->tier[c] == 1) {
+      cs->n_bell += cs->counts[c];
+    } else {
+      cs->n_res += cs->counts[c];
+    }
+  }
+}
+
+}  // namespace
+
+// Pass 1: sizes. out5 = {n_dense_edges, n_bell_edges, n_res_edges,
+// n_sel_cells, nrb*ncw (diagnostic)}.
+void dg_cell_split_count(const int32_t* rowptr, const int32_t* col,
+                         int32_t m, int32_t n, int32_t R, int32_t C,
+                         int32_t min_cell, int32_t dense_min,
+                         int32_t max_cells, int64_t* out5) {
+  CellSplit cs;
+  cell_classify(rowptr, col, m, n, R, C, min_cell, dense_min, max_cells,
+                &cs);
+  out5[0] = cs.n_dense;
+  out5[1] = cs.n_bell;
+  out5[2] = cs.n_res;
+  out5[3] = (int64_t)cs.sel.size();
+  out5[4] = (int64_t)cs.nrb * cs.ncw;
+}
+
+// Pass 2: fill. d_slot/d_eperm: [n_dense] (slot-sorted, CSR-stable);
+// cell_rb/cell_cw: [n_sel]; bell_ids: [n_bell], res_ids: [n_res] (both in
+// CSR edge order).
+void dg_cell_split_fill(const int32_t* rowptr, const int32_t* col,
+                        int32_t m, int32_t n, int32_t R, int32_t C,
+                        int32_t min_cell, int32_t dense_min,
+                        int32_t max_cells, int32_t* d_slot,
+                        int32_t* d_eperm, int32_t* cell_rb, int32_t* cell_cw,
+                        int32_t* bell_ids, int32_t* res_ids) {
+  CellSplit cs;
+  cell_classify(rowptr, col, m, n, R, C, min_cell, dense_min, max_cells,
+                &cs);
+  int64_t nsel = (int64_t)cs.sel.size();
+  // cell id -> dense index (ascending id = (rb, cw) lexicographic)
+  std::vector<int32_t> cidx((int64_t)cs.nrb * cs.ncw, -1);
+  std::vector<int64_t> group_off(nsel + 1, 0);
+  for (int64_t i = 0; i < nsel; ++i) {
+    cidx[cs.sel[i]] = (int32_t)i;
+    cell_rb[i] = (int32_t)(cs.sel[i] / cs.ncw);
+    cell_cw[i] = (int32_t)(cs.sel[i] % cs.ncw);
+    group_off[i + 1] = group_off[i] + cs.counts[cs.sel[i]];
+  }
+  // group dense edges by cell (CSR order preserved within each cell)
+  std::vector<int64_t> cursor(group_off.begin(), group_off.end() - 1);
+  std::vector<int32_t> grouped(cs.n_dense);
+  int64_t bc = 0, rc = 0;
+  for (int32_t r = 0; r < m; ++r) {
+    int64_t base = (int64_t)(r / R) * cs.ncw;
+    for (int32_t e = rowptr[r]; e < rowptr[r + 1]; ++e) {
+      int64_t cell = base + col[e] / C;
+      switch (cs.tier[cell]) {
+        case 2:
+          grouped[cursor[cidx[cell]]++] = e;
+          break;
+        case 1:
+          bell_ids[bc++] = e;
+          break;
+        default:
+          res_ids[rc++] = e;
+      }
+    }
+  }
+  // per-cell counting sort by local slot (lr*C + lc), stable in CSR order
+  std::vector<int32_t> cnt((int64_t)R * C);
+  // recover row from edge id by walking rowptr once (row per edge)
+  std::vector<int32_t> erow(rowptr[m]);
+  for (int32_t r = 0; r < m; ++r)
+    for (int32_t e = rowptr[r]; e < rowptr[r + 1]; ++e) erow[e] = r;
+  std::vector<int32_t> sbuf;
+  for (int64_t i = 0; i < nsel; ++i) {
+    int64_t lo = group_off[i], hi = group_off[i + 1];
+    std::fill(cnt.begin(), cnt.end(), 0);
+    sbuf.resize(hi - lo);
+    for (int64_t j = lo; j < hi; ++j) {
+      int32_t e = grouped[j];
+      int32_t s = (erow[e] % R) * C + (col[e] % C);
+      sbuf[j - lo] = s;
+      cnt[s]++;
+    }
+    int32_t acc = 0;
+    for (int64_t s = 0; s < (int64_t)R * C; ++s) {
+      int32_t c0 = cnt[s];
+      cnt[s] = acc;
+      acc += c0;
+    }
+    int64_t cell_base = i * (int64_t)R * C;
+    for (int64_t j = lo; j < hi; ++j) {
+      int64_t pos = lo + cnt[sbuf[j - lo]]++;
+      d_slot[pos] = (int32_t)(cell_base + sbuf[j - lo]);
+      d_eperm[pos] = grouped[j];
+    }
+  }
+}
+
+int32_t dg_version() { return 11; }
 
 }  // extern "C"

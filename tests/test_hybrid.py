@@ -110,3 +110,42 @@ def test_hybrid_maxmin_falls_back_correctly():
     out = spmm(sp, jnp.asarray(x), "max", Algorithm.PALLAS_ROW_TILE)
     ref = spmm_oracle(rowptr, col, vals, x, "max")
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_native_cell_split_matches_numpy():
+    """The C++ counting-sort cell split (native/dgsparse_host.cpp
+    dg_cell_split_*) reproduces the numpy twin's tiering and slot layout
+    exactly."""
+    from dgsparse_tpu import native
+    from dgsparse_tpu.core.planner import build_dense_cell_plan
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rowptr, col, _ = clustered_csr(m=2000, n=2000, deg=60, comm=160, seed=9)
+    m = n = 2000
+    nat = native.cell_split(rowptr, col, m, n, 128, 128, 96, 768, 65536)
+    assert nat is not None
+    d_slot, d_eperm, cell_rb, cell_cw, bell_ids, res_ids = nat
+
+    # numpy twin: classify cells by count
+    deg_ = np.diff(rowptr)
+    coo_row = np.repeat(np.arange(m, dtype=np.int64), deg_)
+    ncw = -(-n // 128)
+    cell = (coo_row // 128) * ncw + col.astype(np.int64) // 128
+    counts = np.bincount(cell, minlength=-(-m // 128) * ncw)
+    tier = np.where(counts >= 768, 2, np.where(counts >= 96, 1, 0))
+    et = tier[cell]
+    np.testing.assert_array_equal(np.sort(bell_ids),
+                                  np.nonzero(et == 1)[0])
+    np.testing.assert_array_equal(np.sort(res_ids),
+                                  np.nonzero(et == 0)[0])
+    sel = np.nonzero(tier == 2)[0]
+    np.testing.assert_array_equal(cell_rb, sel // ncw)
+    np.testing.assert_array_equal(cell_cw, sel % ncw)
+    # slot layout identical to the numpy builder (stable sort by slot)
+    mat_edges = np.nonzero(et == 2)[0]
+    ref = build_dense_cell_plan(coo_row[mat_edges], col[mat_edges],
+                                mat_edges, sel, ncw, 128, 128, m, n,
+                                len(col))
+    np.testing.assert_array_equal(d_slot, np.asarray(ref.slot))
+    np.testing.assert_array_equal(d_eperm, np.asarray(ref.eperm))
