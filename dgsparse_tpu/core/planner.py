@@ -457,6 +457,7 @@ def build_dense_cell_plan(coo_row, col, edge_ids, sel_cells, num_cw,
     """Build from the dense-tier edges (original-id arrays) + the sorted
     unique cell ids selected for materialization."""
     ncells = len(sel_cells)
+    coo_row = np.asarray(coo_row, np.int64)
     cell_of_edge = (coo_row // row_block) * num_cw + \
         col.astype(np.int64) // col_window
     cidx = np.searchsorted(sel_cells, cell_of_edge)
@@ -502,13 +503,18 @@ class HybridPlan:
     # dims + t_order), so only the non-cells edges need this transpose
     # bucketed-ELL plan (None when not built).
     ell_t: object
+    # SDDMM assembly permutation: per original edge, its position in the
+    # concatenated per-slot value stream [cells flat ++ bell slots ++ ell
+    # slots] (None when not built). One 1-D gather turns tier-local SDDMM
+    # results into CSR edge order.
+    edge_src: object
     num_rows: int
     num_cols: int
     nnz: int
 
     def tree_flatten(self):
-        return (self.bell, self.ell, self.cells, self.ell_t), (
-            self.num_rows, self.num_cols, self.nnz)
+        return (self.bell, self.ell, self.cells, self.ell_t,
+                self.edge_src), (self.num_rows, self.num_cols, self.nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -555,7 +561,7 @@ def build_hybrid_plan(
     if nnz == 0:
         return None
     deg = np.diff(rowptr)
-    coo_row = np.repeat(np.arange(m, dtype=np.int64), deg)
+    coo_row = np.repeat(np.arange(m, dtype=np.int32), deg)
     num_cw = max(-(-num_cols // col_window), 1)
     max_cells = min(int(cells_budget_bytes) // (4 * row_block * col_window),
                     65536)
@@ -585,8 +591,8 @@ def build_hybrid_plan(
                 col_window=col_window, num_rows=m, num_cols=num_cols,
                 nnz=len(d_slot))
     else:
-        cell = (coo_row // row_block) * num_cw + col.astype(np.int64) \
-            // col_window
+        cell = (coo_row.astype(np.int64) // row_block) * num_cw \
+            + col.astype(np.int64) // col_window
         # count edges per touched cell via sort (cells of one row block are
         # contiguous in edge order already; full sort keeps it simple)
         order = np.argsort(cell, kind="stable")
@@ -628,12 +634,13 @@ def build_hybrid_plan(
                 row_block, col_window, m, num_cols, nnz)
 
     def sub_csr(ids):
-        ids = np.asarray(ids, np.int64)              # CSR order (sorted)
-        sub_col = col[ids]
-        sub_deg = np.bincount(coo_row[ids], minlength=m).astype(np.int64)
+        ids = np.asarray(ids)                        # CSR order (sorted),
+        sub_col = col[ids]                           # int32 indexing is fine
+        sub_deg = np.bincount(coo_row[ids], minlength=m)
         sub_rowptr = np.zeros(m + 1, np.int64)
         sub_rowptr[1:] = np.cumsum(sub_deg)
-        return sub_rowptr.astype(np.int32), sub_col, ids.astype(np.int32)
+        return sub_rowptr.astype(np.int32), sub_col, ids.astype(np.int32,
+                                                               copy=False)
 
     bell = None
     if len(bell_edges):
@@ -658,7 +665,7 @@ def build_hybrid_plan(
     # transpose plan over the NON-cells edges for the backward's d_dense
     # (the cells tier transposes via the same materialized blocks)
     nd_ids = np.sort(np.concatenate([
-        np.asarray(bell_edges, np.int64), np.asarray(res_ids, np.int64)]))
+        np.asarray(bell_edges, np.int32), np.asarray(res_ids, np.int32)]))
     nd_rowptr, nd_col, nd_ids = sub_csr(nd_ids)
     from dgsparse_tpu import native as _native
 
@@ -677,8 +684,24 @@ def build_hybrid_plan(
     tp = np.asarray(ell_t.eperm)
     ell_t.eperm = jnp.asarray(np.where(
         tp >= 0, nd_ids[perm_t[np.maximum(tp, 0)]], -1).astype(np.int32))
+
+    # SDDMM assembly permutation (see HybridPlan.edge_src)
+    src = np.empty(nnz, np.int32)
+    off = 0
+    if cells is not None:
+        src[np.asarray(cells.eperm)] = np.asarray(cells.slot)
+        off += cells.cell_slots
+    if bell is not None:
+        bp = np.asarray(bell.eperm)
+        valid = np.nonzero(bp >= 0)[0]
+        src[bp[valid]] = off + valid.astype(np.int32)
+        off += bell.padded_edges
+    ep_flat = np.asarray(ell.eperm)
+    valid = np.nonzero(ep_flat >= 0)[0]
+    src[ep_flat[valid]] = off + valid.astype(np.int32)
     return HybridPlan(bell=bell, ell=ell, cells=cells, ell_t=ell_t,
-                      num_rows=m, num_cols=num_cols, nnz=nnz)
+                      edge_src=jnp.asarray(src), num_rows=m,
+                      num_cols=num_cols, nnz=nnz)
 
 
 @jax.tree_util.register_pytree_node_class

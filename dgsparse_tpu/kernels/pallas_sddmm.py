@@ -102,3 +102,110 @@ def sddmm_esc(
                              jnp.minimum(row_of_edge, plan.num_rows - 1)
                              ).astype(out.dtype)
     return out
+
+
+def _sddmm_cells_kernel(compute_dtype, rb_ref, cw_ref, d1_ref, d2_ref,
+                        out_ref):
+    """out[t] = d1[rb[t]] @ d2[cw[t]]ᵀ — one MXU pass per dense cell.
+    All of a cell's per-edge dot products come from a single [R,F]x[F,C]
+    matmul (the SDDMM mirror of the dense-cell SpMM tier)."""
+    dims = (((1,), (1,)), ((), ()))
+    if compute_dtype == jnp.float32:
+        block = jax.lax.dot_general(
+            d1_ref[:], d2_ref[:], dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    else:
+        block = jax.lax.dot_general(
+            d1_ref[:].astype(jnp.bfloat16), d2_ref[:].astype(jnp.bfloat16),
+            dims, preferred_element_type=jnp.float32)
+    out_ref[0] = block
+
+
+def sddmm_cells(plan, d1: jax.Array, d2: jax.Array,
+                compute_dtype=jnp.float32) -> jax.Array:
+    """Per-slot SDDMM over a DenseCellPlan: returns the FLAT
+    [ncells*R*C] block values (edge values are one gather away via
+    plan.slot / HybridPlan.edge_src)."""
+    r, c = plan.row_block, plan.col_window
+    f = d1.shape[-1]
+    f_pad = _esc._round_up(max(f, 128), 128)
+    if f_pad != f:
+        d1 = jnp.pad(d1, ((0, 0), (0, f_pad - f)))
+        d2 = jnp.pad(d2, ((0, 0), (0, f_pad - f)))
+    m_pad = _esc._round_up(plan.num_rows, r)
+    n_pad = _esc._round_up(plan.num_cols, c)
+    if m_pad != d1.shape[0]:
+        d1 = jnp.pad(d1, ((0, m_pad - d1.shape[0]), (0, 0)))
+    if n_pad != d2.shape[0]:
+        d2 = jnp.pad(d2, ((0, n_pad - d2.shape[0]), (0, 0)))
+    kernel = functools.partial(_sddmm_cells_kernel, compute_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(plan.num_cells,),
+        in_specs=[
+            pl.BlockSpec((r, f_pad), lambda t, rb, cw: (rb[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, f_pad), lambda t, rb, cw: (cw[t], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, r, c), lambda t, rb, cw: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((plan.num_cells, r, c), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.num_cells * r * c * f_pad,
+            bytes_accessed=plan.num_cells * (r + c) * f_pad * 4
+            + plan.num_cells * r * c * 4,
+            transcendentals=0,
+        ),
+        interpret=_esc._INTERPRET,
+    )(plan.cell_rb, plan.cell_cw, d1, d2)
+    return out.reshape(-1)
+
+
+def sddmm_hybrid(hp, d1: jax.Array, d2: jax.Array,
+                 reduce: ReduceOp = ReduceOp.SUM,
+                 degrees=None, coo_row=None,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """SDDMM routed through a 3-tier HybridPlan: dense cells as block
+    matmuls (one MXU pass per cell instead of per-edge row gathers), BELL
+    and ELL tiers as slot-parallel gather+dot, then ONE 1-D gather
+    (edge_src) assembles CSR edge order. At clustered-graph scale this
+    replaces 2 row gathers per edge (~10 ns/edge) with ~1.5 ns/edge of
+    1-D gathers for the dense tier."""
+    parts = []
+    if hp.cells is not None:
+        parts.append(sddmm_cells(hp.cells, d1, d2,
+                                 compute_dtype=compute_dtype))
+    if hp.bell is not None:
+        bp = hp.bell
+        rows = jnp.repeat(bp.tile_rb, bp.edge_tile) * bp.row_block + bp.lrow
+        cols = jnp.repeat(bp.tile_cw, bp.edge_tile) * bp.col_window \
+            + bp.lcol
+        rows = jnp.minimum(rows, hp.num_rows - 1)
+        d1g = jnp.take(d1, rows, axis=0)
+        d2g = jnp.take(d2, cols, axis=0)
+        parts.append(jnp.einsum("ef,ef->e", d1g, d2g,
+                                preferred_element_type=jnp.float32))
+    for cols_b, _, _, rows_b, k in hp.ell.bucket_views():
+        rb = cols_b.shape[0]
+        if rb == 0:
+            continue
+        d2g = jnp.take(d2, cols_b.reshape(-1),
+                       axis=0).reshape(rb, k, -1)
+        d1g = jnp.take(d1, rows_b, axis=0)
+        parts.append(jnp.einsum("mf,mkf->mk", d1g, d2g,
+                                preferred_element_type=jnp.float32
+                                ).reshape(-1))
+    stream = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    out = jnp.take(stream, hp.edge_src)
+    if reduce == ReduceOp.MEAN:
+        if degrees is None or coo_row is None:
+            raise ValueError("degrees+coo_row required for MEAN")
+        out = out / jnp.take(jnp.maximum(degrees, 1).astype(out.dtype),
+                             coo_row)
+    return out

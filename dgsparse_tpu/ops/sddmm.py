@@ -38,18 +38,28 @@ def _use_esc(plan, nnz) -> bool:
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _sddmm(reduce: ReduceOp, num_rows: int, num_cols: int, use_pallas: bool,
            idx, d1, d2):
-    # AUTO = the 2-row-gather XLA formulation: it beats the Pallas one-hot-
-    # expansion kernel at EVERY measured scale (p2p 1.8 vs 3.2 ms,
-    # arxiv-scale 14 vs 32 ms @F=32) — SDDMM has per-edge outputs and no
-    # reduction, so the gather is the whole cost and the kernel's per-tile
-    # MXU expansion is pure overhead. The Pallas kernel stays reachable via
-    # algorithm="pallas" for structures where a future table flips the call.
-    rowptr, col, coo_row, _, _, _, plan_fwd, _, _ = idx
+    # AUTO = the 2-row-gather XLA formulation for irregular structure: it
+    # beats the Pallas one-hot-expansion kernel at EVERY measured scale
+    # (p2p 1.8 vs 3.2 ms, arxiv-scale 14 vs 32 ms @F=32) — SDDMM has
+    # per-edge outputs and no reduction, so the gather is the whole cost
+    # and that kernel's per-tile MXU expansion is pure overhead. EXCEPT on
+    # clustered graphs with a 3-tier hybrid plan: the dense-cell tier
+    # computes whole [R,C] blocks as single MXU matmuls (sddmm_hybrid),
+    # replacing 2 row gathers per edge with one 1-D assembly gather.
+    rowptr, col, coo_row, _, _, _, plan_fwd, _, _, ell_fwd = idx
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     if use_pallas and plan_fwd is not None:
         from dgsparse_tpu.kernels.pallas_sddmm import sddmm_esc
 
         return sddmm_esc(plan_fwd, d1, d2, reduce, degrees)
+    from dgsparse_tpu.core.planner import HybridPlan
+
+    if isinstance(ell_fwd, HybridPlan) and ell_fwd.edge_src is not None \
+            and ell_fwd.cells is not None \
+            and jax.default_backend() == "tpu":
+        from dgsparse_tpu.kernels.pallas_sddmm import sddmm_hybrid
+
+        return sddmm_hybrid(ell_fwd, d1, d2, reduce, degrees, coo_row)
     return kx.sddmm_chunked(coo_row, col, d1, d2, reduce, degrees)
 
 
@@ -61,7 +71,7 @@ def _sddmm_fwd(reduce, num_rows, num_cols, use_pallas, idx, d1, d2):
 def _sddmm_bwd(reduce, num_rows, num_cols, use_pallas, residuals, g):
     idx, d1, d2 = residuals
     rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd, \
-        csc_col = idx
+        csc_col, _ell_fwd = idx
     nnz = col.shape[0]
     if reduce == ReduceOp.MEAN:
         deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1).astype(g.dtype)
@@ -107,7 +117,8 @@ def sddmm(sparse: SparseTensor, d1: jax.Array, d2: jax.Array,
                    nnz=sparse.nnz, feat=d1.shape[-1])
     st = sparse.storage
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
-           st.csr2csc(), st.plan(), st.plan(transpose=True), st.csc_col())
+           st.csr2csc(), st.plan(), st.plan(transpose=True), st.csc_col(),
+           st.ell_plan())
     m, n = sparse.sparse_sizes()
     return _sddmm(reduce, m, n, algorithm == "pallas", idx, d1, d2)
 

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 
 from dgsparse_tpu import SparseTensor, sddmm, sddmm_coo
+from dgsparse_tpu.kernels import xla as kx
+from dgsparse_tpu.ops.types import ReduceOp
 from dgsparse_tpu.utils.testing import random_csr, sddmm_oracle
 
 
@@ -111,3 +113,44 @@ def test_sddmm_chunked_matches_unchunked(monkeypatch):
         jnp.asarray(row), num_segments=m, indices_are_sorted=True)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(r1), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_sddmm_hybrid_matches_xla():
+    """3-tier hybrid SDDMM (dense cells as block matmuls + edge_src
+    assembly gather) is exact vs the 2-row-gather formulation."""
+    from dgsparse_tpu.core.planner import build_hybrid_plan
+    from dgsparse_tpu.kernels import pallas_sddmm as ps
+    from dgsparse_tpu.kernels import pallas_spmm as kp
+
+    kp.set_interpret(True)
+    rng = np.random.default_rng(11)
+    m = n = 1500
+    comm = 150
+    deg = np.maximum(rng.poisson(40, m), 0).astype(np.int64)
+    deg[::11] = 0
+    nnz = int(deg.sum())
+    row = np.repeat(np.arange(m, dtype=np.int64), deg)
+    c0 = (row // comm) * comm
+    col = np.where(rng.random(nnz) < 0.8,
+                   c0 + rng.integers(0, 1 << 30, nnz)
+                   % np.minimum(comm, n - c0),
+                   rng.integers(0, n, nnz)).astype(np.int32)
+    order = np.argsort(row * (n + 1) + col, kind="stable")
+    col = col[order]
+    rowptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+    hp = build_hybrid_plan(rowptr, col, n)
+    assert hp is not None and hp.cells is not None
+    d1 = jnp.asarray(rng.standard_normal((m, 24)).astype(np.float32))
+    d2 = jnp.asarray(rng.standard_normal((n, 24)).astype(np.float32))
+    coo = jnp.asarray(np.repeat(np.arange(m, dtype=np.int32),
+                                np.diff(rowptr)))
+    got = ps.sddmm_hybrid(hp, d1, d2)
+    ref = kx.sddmm(coo, jnp.asarray(col), d1, d2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # MEAN flavor
+    degs = jnp.asarray(np.diff(rowptr).astype(np.int32))
+    got_m = ps.sddmm_hybrid(hp, d1, d2, ReduceOp.MEAN, degs, coo)
+    ref_m = kx.sddmm(coo, jnp.asarray(col), d1, d2, ReduceOp.MEAN, degs)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m),
+                               rtol=1e-4, atol=1e-4)
