@@ -203,6 +203,84 @@ def bench_reddit_hybrid(name, rowptr, col, feat):
     return rows
 
 
+def _sddmm_row(name, alg, nnz, m, n, feat, dt):
+    if dt <= 0:
+        log(f"[{name}] {alg}: degenerate timing; row skipped")
+        return {"graph": name, "alg": alg, "op": "sddmm", "nnz": nnz,
+                "feat": feat, "us": None, "gflops": None,
+                "roofline_frac": None}
+    gflops = 2.0 * nnz * feat / dt / 1e9
+    # minimal algorithmic traffic: read both dense operands once, write
+    # one f32 per edge
+    min_bytes = (m + n) * feat * 4 + nnz * 4
+    roof = min_bytes / dt / 1e9 / HBM_GBPS
+    r = {"graph": name, "alg": alg, "op": "sddmm", "nnz": nnz,
+         "feat": feat, "us": round(dt * 1e6, 1),
+         "gflops": round(gflops, 2), "roofline_frac": round(roof, 4)}
+    log(f"[{name}] sddmm {alg:22s} F={feat:<4d} {dt*1e6:10.1f} us "
+        f"{gflops:8.2f} GF/s  roofline {roof*100:5.1f}%")
+    return r
+
+
+def bench_sddmm(name, rowptr, col, feats, hybrid=False):
+    """SDDMM north-star measurements (BASELINE.json): the edge-chunked
+    XLA formulation everywhere, plus the dense-cell hybrid path on
+    clustered graphs; fp32 and bf16 operands. Matches the reference
+    harness protocol (example/sddmm/sddmm.cu: correctness check then
+    warm timed iterations)."""
+    from dgsparse_tpu.kernels import xla as kx
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
+
+    m, nnz = len(rowptr) - 1, len(col)
+    n = m
+    coo = jnp.asarray(np.repeat(np.arange(m, dtype=np.int32),
+                                np.diff(rowptr).astype(np.int64)))
+    col_j = jnp.asarray(col)
+    rng = np.random.default_rng(2)
+    rows = []
+    hp = None
+    if hybrid:
+        from dgsparse_tpu.core.planner import build_hybrid_plan
+
+        t0 = time.perf_counter()
+        hp = build_hybrid_plan(rowptr, col, n)
+        log(f"[{name}] sddmm hybrid plan "
+            f"{time.perf_counter()-t0:.1f}s")
+    for feat in feats:
+        d1 = jnp.asarray(rng.standard_normal((m, feat)).astype(np.float32))
+        d2 = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
+        # correctness spot check vs the oracle on a prefix
+        k = min(nnz, 100000)
+        ref = np.einsum(
+            "ef,ef->e",
+            np.asarray(d1)[np.asarray(coo[:k])],
+            np.asarray(d2)[np.asarray(col_j[:k])])
+        got = np.asarray(jax.jit(kx.sddmm_chunked)(coo, col_j, d1, d2)[:k])
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+        for dt_name, cast in (("f32", lambda x: x),
+                              ("bf16", lambda x: x.astype(jnp.bfloat16))):
+            dt = time_pytree_2pt(
+                lambda a, b, r, c: kx.sddmm_chunked(r, c, a, b),
+                (cast(d1), cast(d2), coo, col_j), iters=(5, 15), repeats=3)
+            rows.append(_sddmm_row(name, f"XLA_CHUNKED[{dt_name}]", nnz,
+                                   m, n, feat, dt))
+        if hp is not None and hp.cells is not None:
+            from dgsparse_tpu.kernels.pallas_sddmm import sddmm_hybrid
+
+            got = np.asarray(jax.jit(
+                lambda a, b, p: sddmm_hybrid(p, a, b))(d1, d2, hp)[:k])
+            # hybrid emits in CSR edge order too
+            np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+            for cd, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+                dt = time_pytree_2pt(
+                    lambda a, b, p, cd=cd: sddmm_hybrid(
+                        p, a, b, compute_dtype=cd),
+                    (d1, d2, hp), iters=(5, 15), repeats=3)
+                rows.append(_sddmm_row(name, f"HYBRID_CELLS[{tag}]", nnz,
+                                       m, n, feat, dt))
+    return rows
+
+
 def _row(name, alg, nnz, m, n, feat, dt):
     if dt <= 0:
         # two-point difference degenerated (tunnel hiccup mid-repeat);
@@ -250,11 +328,14 @@ def main():
             section(bench_standard, "arxiv-scale", rowptr, col, feat,
                     ["PALLAS_ROW_TILE", "PALLAS_EDGE_TILE",
                      "XLA_SEGMENT"])
+        section(bench_sddmm, "arxiv-scale", rowptr, col, (64, 128))
 
     if not args.quick:
         # --- reddit scale, clustered (hybrid BELL+ELL target) ---
         rowptr, col = clustered_graph(232965, 232965, 492, seed=4)
         section(bench_reddit_hybrid, "reddit-clustered", rowptr, col, 64)
+        section(bench_sddmm, "reddit-clustered", rowptr, col, (64,),
+                True)
         # --- reddit scale, random (lean chunked path) ---
         rowptr, col = clustered_graph(232965, 232965, 492, seed=5,
                                       intra=0.0)
