@@ -182,18 +182,12 @@ class Storage:
             ell_only = build_plans == "ell"
             colptr_np = np.asarray(jax.device_get(self._colptr))
             row_csc_np = np.asarray(jax.device_get(self._row_csc))
-            # sort_cols=False keeps plan slots in CSR (row-major) order so
-            # one plan serves sum/mean (order-independent one-hot) AND
-            # max/min (segmented scan needs contiguous row segments);
-            # measured: XLA row-gather cost is index-order-agnostic.
-            if not ell_only:
-                self._plan_fwd = build_edge_tile_plan(
-                    rowptr_np, col_np, num_cols, sort_cols=False)
-                self._plan_bwd = build_edge_tile_plan(
-                    colptr_np, row_csc_np, num_rows, sort_cols=False)
-            # ELL row-balance plans (skip the segment reduction entirely):
-            # single-K for degree-regular structures, degree-bucketed
-            # otherwise (bounded padding even on power-law graphs).
+            # ELL row-balance / hybrid plans FIRST (they decide whether the
+            # ESC/BELL plans are worth building at all): single-K for
+            # degree-regular structures, degree-bucketed otherwise, 3-tier
+            # hybrid for clustered structure.
+            from dgsparse_tpu.core.planner import HybridPlan as _HP
+
             if nnz >= 4096:
                 from dgsparse_tpu.core.planner import (
                     build_bucketed_ell_plan, build_hybrid_plan)
@@ -217,13 +211,26 @@ class Storage:
                         # device arrays regardless of bucket count)
                         if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 64:
                             self._ell_fwd = bek
+            # sort_cols=False keeps plan slots in CSR (row-major) order so
+            # one plan serves sum/mean (order-independent one-hot) AND
+            # max/min (segmented scan needs contiguous row segments);
+            # measured: XLA row-gather cost is index-order-agnostic.
+            # Skipped for 16M+-edge hybrid graphs: the fwd+bwd ESC plans
+            # cost ~24 B/edge of HBM and every hybrid path (forward,
+            # transpose backward, SDDMM) has its own plan; explicit
+            # PALLAS_EDGE_TILE requests fall back to XLA then.
+            esc_redundant = (isinstance(self._ell_fwd, _HP)
+                             and nnz >= (1 << 24))
+            if not ell_only and not esc_redundant:
+                self._plan_fwd = build_edge_tile_plan(
+                    rowptr_np, col_np, num_cols, sort_cols=False)
+                self._plan_bwd = build_edge_tile_plan(
+                    colptr_np, row_csc_np, num_rows, sort_cols=False)
             # BELL 2D plans only pay off when cells genuinely fill (measured:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.
             # A hybrid plan supersedes the full-graph BELL on both the
             # forward (AUTO prefers it) and the backward (transpose-hybrid
             # path), so skip the two full-graph lexsorts then.
-            from dgsparse_tpu.core.planner import HybridPlan as _HP
-
             if nnz >= 4096 and nnz / max(num_rows, 1) >= 32 \
                     and not ell_only and not isinstance(self._ell_fwd, _HP):
                 bell = build_bell_plan(rowptr_np, col_np, num_cols)
