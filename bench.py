@@ -63,12 +63,12 @@ def child(algorithm_name: str, out_path: str) -> None:
     # (round-2 capture billed 261 s of cold backend setup to
     # "construction" because the timer started before any device touch).
     t0 = time.perf_counter()
-    jax.block_until_ready(jnp.zeros((8,), jnp.float32) + 1.0)
+    jax.device_get(jnp.zeros((8,), jnp.float32) + 1.0)
     log(f"[{algorithm_name}] backend init {time.perf_counter() - t0:.2f}s")
     t0 = time.perf_counter()
     sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
                                jnp.asarray(vals), sparse_sizes=(m, n))
-    jax.block_until_ready(sp.storage.col())
+    jax.device_get(sp.storage.col()[-1])
     log(f"[{algorithm_name}] construction {time.perf_counter() - t0:.2f}s")
 
     rng = np.random.default_rng(0)

@@ -12,6 +12,19 @@ import time
 from typing import Callable
 
 import jax
+import numpy as _np
+
+
+def _sync(x):
+    """Force COMPLETION of a (scalar-ish) computation.
+
+    jax.block_until_ready is NOT sufficient on the tunneled axon backend:
+    after a service restart it was observed to return before the device
+    finished (a 100x 2048^3 matmul chain "measured" 33 ms via
+    block_until_ready vs 346 ms via result fetch). Fetching the value is
+    the only portable completion barrier, so every timing helper syncs by
+    device_get of its (scalar) result."""
+    return jax.device_get(x)
 
 
 def time_fn(fn: Callable, *args, warmup: int = 10, iters: int = 100) -> float:
@@ -20,11 +33,11 @@ def time_fn(fn: Callable, *args, warmup: int = 10, iters: int = 100) -> float:
     tunneled devices."""
     for _ in range(warmup):
         r = fn(*args)
-    jax.block_until_ready(r)
+    jax.tree.map(_sync, r)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
-    jax.block_until_ready(r)
+    jax.tree.map(_sync, r)
     return (time.perf_counter() - t0) / iters
 
 
@@ -48,9 +61,9 @@ def time_on_device(op: Callable, *args, iters: int = 50) -> float:
 
         return jax.lax.fori_loop(0, iters, body, s)
 
-    jax.block_until_ready(run(jnp.float32(1.0)))
+    _sync(run(jnp.float32(1.0)))
     t0 = time.perf_counter()
-    jax.block_until_ready(run(jnp.float32(1.0)))
+    _sync(run(jnp.float32(1.0)))
     return (time.perf_counter() - t0) / iters
 
 
@@ -82,14 +95,14 @@ def time_on_device_2pt(op: Callable, *args, iters=(50, 250),
         return run
 
     r1, r2 = make(n1), make(n2)
-    jax.block_until_ready(r1(jnp.float32(1.0)))
-    jax.block_until_ready(r2(jnp.float32(1.0)))
+    _sync(r1(jnp.float32(1.0)))
+    _sync(r2(jnp.float32(1.0)))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(r1(jnp.float32(1.0)))
+        _sync(r1(jnp.float32(1.0)))
         t1 = time.perf_counter()
-        jax.block_until_ready(r2(jnp.float32(1.0)))
+        _sync(r2(jnp.float32(1.0)))
         t2 = time.perf_counter()
         best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
     return max(best, 0.0)
@@ -145,14 +158,14 @@ def time_pytree_2pt(fn: Callable, args: tuple, iters=(50, 250),
 
     n1, n2 = iters
     r1, r2 = make(n1), make(n2)
-    jax.block_until_ready(r1(args))
-    jax.block_until_ready(r2(args))
+    _sync(r1(args))
+    _sync(r2(args))
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(r1(args))
+        _sync(r1(args))
         t1 = time.perf_counter()
-        jax.block_until_ready(r2(args))
+        _sync(r2(args))
         t2 = time.perf_counter()
         best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
     return max(best, 0.0)
