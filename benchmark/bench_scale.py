@@ -154,9 +154,9 @@ def bench_reddit_lean(name, rowptr, col, feat, chunks=16):
         import time as _t
 
         r = jax.jit(fwd)(b, col_j, coo_j)
-        jax.block_until_ready(r)
+        jax.device_get(r[-1, -1])
         t0 = _t.perf_counter()
-        jax.block_until_ready(jax.jit(fwd)(b, col_j, coo_j))
+        jax.device_get(jax.jit(fwd)(b, col_j, coo_j)[-1, -1])
         dt = _t.perf_counter() - t0
     return [_row(name, f"XLA_CHUNKED[{chunks}]", nnz, m, n, feat, dt)]
 
