@@ -149,3 +149,28 @@ def test_native_cell_split_matches_numpy():
                                 len(col))
     np.testing.assert_array_equal(d_slot, np.asarray(ref.slot))
     np.testing.assert_array_equal(d_eperm, np.asarray(ref.eperm))
+
+
+def test_hybrid_cached_values_backward():
+    """d_dense through the vslot-cached hybrid transpose path (concrete
+    values on the Storage → cached cells + ell_t slot weights) matches the
+    XLA backward."""
+    rowptr, col, vals = clustered_csr(seed=12)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(1500, 1500))
+    hp = sp.storage.ell_plan()
+    assert isinstance(hp, HybridPlan) and hp.cells is not None
+    assert hp.ell_t is not None
+    vs = sp.storage.vslot()
+    assert vs is not None and vs["ell"]["cells"] is not None
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1500, 16)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((1500, 16)).astype(np.float32))
+
+    def loss(d, alg):
+        return jnp.vdot(spmm(sp, d, "sum", alg), ct)
+
+    gh = jax.grad(lambda d: loss(d, Algorithm.PALLAS_ROW_TILE))(x)
+    gx = jax.grad(lambda d: loss(d, Algorithm.XLA_SEGMENT))(x)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gx),
+                               rtol=1e-3, atol=1e-3)
