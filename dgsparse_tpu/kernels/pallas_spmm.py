@@ -172,10 +172,12 @@ def spmm_ell(
         if values is not None:
             safe = jnp.maximum(plan.eperm, 0).reshape(-1)
             w = w * jnp.take(values, safe).reshape(m, k).astype(w.dtype)
-    # fp32 accumulation even for bf16 inputs (K can reach 64K on hub rows)
-    out = jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype), gathered,
-                     preferred_element_type=jnp.float32
-                     ).astype(dense.dtype)
+    # broadcast-multiply + K-sum (NOT einsum: the dot lowering forces a
+    # materialized [m,K,F] relayout — measured +195 us on p2p@F=32; the
+    # elementwise form fuses with the gather). fp32 accumulation even for
+    # bf16 inputs (K can reach 64K on hub rows).
+    out = (w.astype(gathered.dtype)[:, :, None] * gathered).sum(
+        axis=1, dtype=jnp.float32).astype(dense.dtype)
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
@@ -269,10 +271,9 @@ def spmm_bucketed_ell(
                     safe = jnp.maximum(eperm, 0).reshape(-1)
                     w = w * jnp.take(values, safe).reshape(rb, k).astype(
                         w.dtype)
-            return jnp.einsum("mk,mkf->mf", w.astype(gathered.dtype),
-                              gathered,
-                              preferred_element_type=jnp.float32
-                              ).astype(dense.dtype)
+            # mul+sum, not einsum — see spmm_ell
+            return (w.astype(gathered.dtype)[:, :, None] * gathered).sum(
+                axis=1, dtype=jnp.float32).astype(dense.dtype)
 
         if rb * k <= max_slots:
             outs.append(bucket_out(cols, mask, eperm, o2))
