@@ -423,7 +423,9 @@ def spmm_hybrid_t(
         out = spmm_dense_cells(plan.cells, cells, g, transpose=True,
                                compute_dtype=compute_dtype)
     if plan.ell_t is not None:
-        e = spmm_bucketed_ell(plan.ell_t, values, g,
+        g_res = g.astype(jnp.bfloat16) \
+            if compute_dtype == jnp.bfloat16 else g
+        e = spmm_bucketed_ell(plan.ell_t, values, g_res,
                               w_slot=w.get("ell_t")).astype(jnp.float32)
         out = e if out is None else out + e
     return out
@@ -457,7 +459,12 @@ def spmm_hybrid(
                       compute_dtype=compute_dtype,
                       w_slot=w.get("bell")).astype(jnp.float32)
         out = b if out is None else out + b
-    e = spmm_bucketed_ell(plan.ell, values, dense, ReduceOp.SUM,
+    # bf16 mode: the residue gathers from a bf16 copy of dense — random
+    # row gathers are issue/byte-bound and 128-byte bf16 rows at F=64 are
+    # ~2x the fp32 gather rate (accumulation stays fp32 in the K-sum)
+    dense_res = dense.astype(jnp.bfloat16) \
+        if compute_dtype == jnp.bfloat16 else dense
+    e = spmm_bucketed_ell(plan.ell, values, dense_res, ReduceOp.SUM,
                           w_slot=w.get("ell")).astype(jnp.float32)
     out = e if out is None else out + e
     if reduce == ReduceOp.MEAN:

@@ -128,7 +128,7 @@ def sddmm(
 
 # Largest gathered [chunk, F] buffer the chunked SDDMM materializes at
 # once; 115M-edge graphs at F=64 would need 29 GB un-chunked.
-_SDDMM_CHUNK_BUDGET = 256 << 20
+_SDDMM_CHUNK_BUDGET = 512 << 20
 
 
 def sddmm_chunked(
