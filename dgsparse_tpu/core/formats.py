@@ -241,6 +241,18 @@ class Storage:
                     self._bell_bwd = bell_t
         self._vslot = self._build_vslot(values)
 
+    def _host_perm(self, name: str, arr) -> np.ndarray:
+        """Memoized host copy of a static per-structure permutation."""
+        cache = getattr(self, "_host_perm_cache", None)
+        if cache is None:
+            cache = {}
+            self._host_perm_cache = cache
+        h = cache.get(name)
+        if h is None:
+            h = np.asarray(jax.device_get(arr))
+            cache[name] = h
+        return h
+
     def _build_vslot(self, values):
         """Plan-slot-ordered value caches (padding -> 0), one per plan.
 
@@ -272,11 +284,21 @@ class Storage:
                         "bell_t": None, "csc": None}
             return None
         vals_np = np.asarray(jax.device_get(values))
-        perm_np = np.asarray(jax.device_get(self._csr2csc))
+        perm_np = self._host_perm("_csr2csc", self._csr2csc)
         vals_csc = vals_np[perm_np]
 
         def slotw(plan_obj, v):
-            ep = np.asarray(jax.device_get(plan_obj.eperm)).reshape(-1)
+            # eperm is static per structure — fetch it from device once and
+            # memoize the host copy on the plan, so repeated set_values()
+            # calls (eager value-update pipelines) pay only the slot-array
+            # re-upload, not a device round-trip per plan.
+            ep = getattr(plan_obj, "_eperm_host", None)
+            if ep is None:
+                ep = np.asarray(jax.device_get(plan_obj.eperm)).reshape(-1)
+                try:
+                    plan_obj._eperm_host = ep
+                except Exception:
+                    pass
             return jnp.asarray(
                 np.where(ep >= 0, v[np.maximum(ep, 0)], 0).astype(v.dtype))
 
