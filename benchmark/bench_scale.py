@@ -304,6 +304,9 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="arxiv-scale only")
     ap.add_argument("--skip-arxiv", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="run one section: hybrid | sddmm-reddit | "
+                         "lean | sddmm-arxiv")
     ap.add_argument("--out", default="benchmark/results_scale.json")
     args = ap.parse_args()
     results = []
@@ -322,24 +325,31 @@ def main():
                 f"{type(ex).__name__}: {ex}")
         flush()
 
-    if not args.skip_arxiv:
+    only = args.only
+    if not args.skip_arxiv and only in (None, "sddmm-arxiv"):
         rowptr, col = power_law_graph(169343, 169343, 1166243, seed=3)
-        for feat in (64, 128):
-            section(bench_standard, "arxiv-scale", rowptr, col, feat,
-                    ["PALLAS_ROW_TILE", "PALLAS_EDGE_TILE",
-                     "XLA_SEGMENT"])
+        if only is None:
+            for feat in (64, 128):
+                section(bench_standard, "arxiv-scale", rowptr, col, feat,
+                        ["PALLAS_ROW_TILE", "PALLAS_EDGE_TILE",
+                         "XLA_SEGMENT"])
         section(bench_sddmm, "arxiv-scale", rowptr, col, (64, 128))
 
     if not args.quick:
-        # --- reddit scale, clustered (hybrid BELL+ELL target) ---
-        rowptr, col = clustered_graph(232965, 232965, 492, seed=4)
-        section(bench_reddit_hybrid, "reddit-clustered", rowptr, col, 64)
-        section(bench_sddmm, "reddit-clustered", rowptr, col, (64,),
-                True)
-        # --- reddit scale, random (lean chunked path) ---
-        rowptr, col = clustered_graph(232965, 232965, 492, seed=5,
-                                      intra=0.0)
-        section(bench_reddit_lean, "reddit-random", rowptr, col, 64)
+        if only in (None, "hybrid", "sddmm-reddit"):
+            # --- reddit scale, clustered (hybrid BELL+ELL target) ---
+            rowptr, col = clustered_graph(232965, 232965, 492, seed=4)
+            if only in (None, "hybrid"):
+                section(bench_reddit_hybrid, "reddit-clustered", rowptr,
+                        col, 64)
+            if only in (None, "sddmm-reddit"):
+                section(bench_sddmm, "reddit-clustered", rowptr, col,
+                        (64,), True)
+        if only in (None, "lean"):
+            # --- reddit scale, random (lean chunked path) ---
+            rowptr, col = clustered_graph(232965, 232965, 492, seed=5,
+                                          intra=0.0)
+            section(bench_reddit_lean, "reddit-random", rowptr, col, 64)
 
     log(f"wrote {args.out}")
     for r in results:

@@ -48,20 +48,25 @@ def main():
     b = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
 
     def t(label, fn, args):
-        dt = time_pytree_2pt(fn, args, iters=(4, 12), repeats=3)
+        t0 = time.perf_counter()
+        dt = time_pytree_2pt(fn, args, iters=(2, 6), repeats=2)
         log(f"  [{label:24s}] {dt*1e3:8.1f} ms "
-            f"({dt/len(res_ids)*1e9:.2f} ns/edge)")
+            f"({dt/len(res_ids)*1e9:.2f} ns/edge) "
+            f"[wall {time.perf_counter()-t0:.0f}s]")
         return dt
 
-    for budget, tag in ((64 << 20, "64MB"), (256 << 20, "256MB"),
-                        (1 << 30, "1GB")):
+    budgets = [(256 << 20, "256MB")]
+    if len(sys.argv) > 1 and sys.argv[1] == "budgets":
+        budgets = [(64 << 20, "64MB"), (1 << 30, "1GB")]
+    for budget, tag in budgets:
         kp._GATHER_BUDGET_BYTES = budget
         t(f"f32 budget={tag}",
           lambda x, p: kp.spmm_bucketed_ell(p, None, x), (b, plan))
     kp._GATHER_BUDGET_BYTES = 256 << 20
-    t("bf16 table budget=256MB",
-      lambda x, p: kp.spmm_bucketed_ell(p, None, x.astype(jnp.bfloat16)),
-      (b, plan))
+    if not (len(sys.argv) > 1 and sys.argv[1] == "budgets"):
+        t("bf16 table budget=256MB",
+          lambda x, p: kp.spmm_bucketed_ell(p, None, x.astype(jnp.bfloat16)),
+          (b, plan))
 
     # gather-only with a REAL consumer: the recombination row gather of
     # per-chunk row-sums is replaced by simply emitting the gathered rows
