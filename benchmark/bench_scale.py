@@ -257,11 +257,14 @@ def bench_sddmm(name, rowptr, col, feats, hybrid=False):
             np.asarray(d2)[np.asarray(col_j[:k])])
         got = np.asarray(jax.jit(kx.sddmm_chunked)(coo, col_j, d1, d2)[:k])
         np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+        rp_j = jnp.asarray(rowptr)
         for dt_name, cast in (("f32", lambda x: x),
                               ("bf16", lambda x: x.astype(jnp.bfloat16))):
             dt = time_pytree_2pt(
-                lambda a, b, r, c: kx.sddmm_chunked(r, c, a, b),
-                (cast(d1), cast(d2), coo, col_j), iters=(5, 15), repeats=3)
+                lambda a, b, r, c, rp: kx.sddmm_chunked(r, c, a, b,
+                                                        rowptr=rp),
+                (cast(d1), cast(d2), coo, col_j, rp_j), iters=(5, 15),
+                repeats=3)
             rows.append(_sddmm_row(name, f"XLA_CHUNKED[{dt_name}]", nnz,
                                    m, n, feat, dt))
         if hp is not None and hp.cells is not None:

@@ -60,7 +60,8 @@ def _sddmm(reduce: ReduceOp, num_rows: int, num_cols: int, use_pallas: bool,
         from dgsparse_tpu.kernels.pallas_sddmm import sddmm_hybrid
 
         return sddmm_hybrid(ell_fwd, d1, d2, reduce, degrees, coo_row)
-    return kx.sddmm_chunked(coo_row, col, d1, d2, reduce, degrees)
+    return kx.sddmm_chunked(coo_row, col, d1, d2, reduce, degrees,
+                            rowptr=rowptr)
 
 
 def _sddmm_fwd(reduce, num_rows, num_cols, use_pallas, idx, d1, d2):

@@ -184,8 +184,8 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
         if not has_value:
             d_values = jnp.zeros_like(values)
         else:
-            d_values = kx.sddmm_chunked(coo_row, col, g,
-                                        dense).astype(values.dtype)
+            d_values = kx.sddmm_chunked(coo_row, col, g, dense,
+                                        rowptr=rowptr).astype(values.dtype)
         # d_dense = A^T · grad via cached CSC (src/spmm.cpp:72-74), on the
         # same kernel path as the forward (transpose plans for Pallas).
         from dgsparse_tpu.core.planner import HybridPlan

@@ -105,7 +105,9 @@ def test_sddmm_chunked_matches_unchunked(monkeypatch):
     d2 = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
     out = kx.sddmm_chunked(jnp.asarray(row), jnp.asarray(col), d1, d2)
     ref = kx.sddmm(jnp.asarray(row), jnp.asarray(col), d1, d2)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    # chunk boundaries regroup the F-axis accumulation: last-ulp grade
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-6)
     g = jnp.asarray(rng.standard_normal(nnz).astype(np.float32))
     b1 = kx.sddmm_bwd_chunked(jnp.asarray(row), jnp.asarray(col), g, d2, m)
     r1 = jax.ops.segment_sum(
