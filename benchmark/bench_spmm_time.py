@@ -92,8 +92,13 @@ def main():
     for name, (n, deg, skew) in DATASETS.items():
         if args.graphs and name not in args.graphs.split(","):
             continue
+        # zlib.crc32, not hash(): str hashes are salted per process, so
+        # hash(name) gave a different graph every run (incomparable rows)
+        import zlib
+
         rowptr, col, vals = random_csr(n, n, avg_degree=deg,
-                                       seed=hash(name) % 97, skew=skew)
+                                       seed=zlib.crc32(name.encode()) % 97,
+                                       skew=skew)
         graphs[name] = (rowptr, col, vals, n)
     if os.path.exists(MTX) and (not args.graphs
                                 or "p2p" in args.graphs):

@@ -25,11 +25,32 @@ native/planner.cpp; this numpy version is the reference and fallback.
 """
 
 import dataclasses
+import os
+import time
 
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+_TRACE_BUILD = os.environ.get("DGSPARSE_TPU_TRACE_BUILD", "") not in ("", "0")
+
+
+class _BuildTimer:
+    """Stage logger for plan construction, on when
+    DGSPARSE_TPU_TRACE_BUILD=1 (perf triage of 100M-edge builds)."""
+
+    def __init__(self, tag):
+        self.tag = tag
+        self.t0 = time.perf_counter()
+
+    def lap(self, label):
+        if _TRACE_BUILD:
+            t = time.perf_counter()
+            print(f"[build:{self.tag}] {label:36s} {t - self.t0:8.2f}s",
+                  flush=True)
+            self.t0 = t
 
 
 @jax.tree_util.register_pytree_node_class
@@ -560,8 +581,10 @@ def build_hybrid_plan(
     nnz = len(col)
     if nnz == 0:
         return None
+    _bt = _BuildTimer("hybrid")
     deg = np.diff(rowptr)
     coo_row = np.repeat(np.arange(m, dtype=np.int32), deg)
+    _bt.lap("coo_row expand")
     num_cw = max(-(-num_cols // col_window), 1)
     max_cells = min(int(cells_budget_bytes) // (4 * row_block * col_window),
                     65536)
@@ -575,6 +598,7 @@ def build_hybrid_plan(
         nat = native.cell_split(rowptr, col, m, num_cols, row_block,
                                 col_window, int(min_cell_edges),
                                 int(dense_min_edges), max_cells)
+    _bt.lap("native cell_split")
     if nat is not None:
         d_slot, d_eperm, cell_rb, cell_cw, bell_edges, res_ids = nat
         if nnz - len(res_ids) < 0.25 * nnz:
@@ -590,6 +614,7 @@ def build_hybrid_plan(
                 num_cells=len(cell_rb), row_block=row_block,
                 col_window=col_window, num_rows=m, num_cols=num_cols,
                 nnz=len(d_slot))
+            _bt.lap("DenseCellPlan device arrays")
     else:
         cell = (coo_row.astype(np.int64) // row_block) * num_cw \
             + col.astype(np.int64) // col_window
@@ -642,6 +667,7 @@ def build_hybrid_plan(
         return sub_rowptr.astype(np.int32), sub_col, ids.astype(np.int32,
                                                                copy=False)
 
+    _bt.lap("cell tier done")
     bell = None
     if len(bell_edges):
         b_rowptr, b_col, b_ids = sub_csr(bell_edges)
@@ -651,8 +677,11 @@ def build_hybrid_plan(
         bp = np.asarray(bell.eperm)
         bell.eperm = jnp.asarray(np.where(bp >= 0, b_ids[np.maximum(bp, 0)],
                                           -1).astype(np.int32))
+    _bt.lap("bell tier")
     e_rowptr, e_col, e_ids = sub_csr(res_ids)
+    _bt.lap("residue sub_csr")
     ell = build_bucketed_ell_plan(e_rowptr, e_col, num_cols)
+    _bt.lap("residue bucketed ELL")
     ep = np.asarray(ell.eperm)
     ell.eperm = jnp.asarray(np.where(ep >= 0, e_ids[np.maximum(ep, 0)],
                                      -1).astype(np.int32))
@@ -661,6 +690,7 @@ def build_hybrid_plan(
     inv = np.zeros(nnz, np.int32)
     inv[e_ids] = np.asarray(ell.inv)
     ell.inv = jnp.asarray(inv)
+    _bt.lap("residue eperm/inv remap")
 
     # transpose plan over the NON-cells edges for the backward's d_dense
     # (the cells tier transposes via the same materialized blocks)
@@ -669,6 +699,7 @@ def build_hybrid_plan(
     nd_rowptr, nd_col, nd_ids = sub_csr(nd_ids)
     from dgsparse_tpu import native as _native
 
+    _bt.lap("nd_ids + sub_csr")
     t = _native.csr2csc(nd_rowptr, nd_col, m, num_cols)
     if t is not None:
         colptr_t, row_t, perm_t = t
@@ -680,10 +711,12 @@ def build_hybrid_plan(
         coo_nd = coo_row[nd_ids.astype(np.int64)]
         row_t = coo_nd[order_t].astype(np.int32)
         perm_t = order_t.astype(np.int32)
+    _bt.lap("csr2csc transpose")
     ell_t = build_bucketed_ell_plan(colptr_t, row_t, m)
     tp = np.asarray(ell_t.eperm)
     ell_t.eperm = jnp.asarray(np.where(
         tp >= 0, nd_ids[perm_t[np.maximum(tp, 0)]], -1).astype(np.int32))
+    _bt.lap("transpose bucketed ELL")
 
     # SDDMM assembly permutation (see HybridPlan.edge_src)
     src = np.empty(nnz, np.int32)
@@ -699,6 +732,7 @@ def build_hybrid_plan(
     ep_flat = np.asarray(ell.eperm)
     valid = np.nonzero(ep_flat >= 0)[0]
     src[ep_flat[valid]] = off + valid.astype(np.int32)
+    _bt.lap("edge_src assembly")
     return HybridPlan(bell=bell, ell=ell, cells=cells, ell_t=ell_t,
                       edge_src=jnp.asarray(src), num_rows=m,
                       num_cols=num_cols, nnz=nnz)

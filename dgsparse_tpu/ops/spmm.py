@@ -39,10 +39,10 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                   idx, values, dense):
     """Dispatch the forward kernel. idx = (rowptr, col, coo_row, colptr,
     row_csc, perm, plan_fwd, plan_bwd, bell_fwd, bell_bwd, ell_fwd,
-    csc_col, vslot). vslot (dict or None) carries plan-slot-cached values
+    csc_col, vslot, mm_comp). vslot (dict or None) carries plan-slot-cached values
     (core/formats.py _build_vslot) — skips the per-call 1-D value gather."""
     (rowptr, col, coo_row, _, _, _, plan_fwd, _, bell_fwd, _,
-     ell_fwd, _, vslot) = idx
+     ell_fwd, _, vslot, _) = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
@@ -170,7 +170,7 @@ def _spmm_fwd(reduce, algorithm, has_value, idx, values, dense):
 def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
     idx, values, dense, arg_edge = residuals
     (rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd,
-     bell_fwd, bell_bwd, ell_fwd, csc_col, vslot) = idx
+     bell_fwd, bell_bwd, ell_fwd, csc_col, vslot, mm_comp) = idx
     num_rows = rowptr.shape[0] - 1
     nnz = col.shape[0]
     if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
@@ -305,6 +305,25 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
                 d_values = jnp.zeros_like(values)
             contrib_flat = (contrib_parts[0] if len(contrib_parts) == 1
                             else jnp.concatenate(contrib_parts, axis=0))
+            if mm_comp is not None and plan_bwd is not None:
+                # Feed winner contributions straight into the one-hot MXU
+                # segment matmul over the transpose ESC plan via the
+                # precomputed bwd-slot -> fwd-ELL-slot permutation
+                # (Storage._mm_comp). Measured 57.8 vs 71.6 ms for the
+                # CSC-gather + XLA segment_sum route (arxiv F=64,
+                # benchmark/probe_maxmin_bwd.py).
+                from dgsparse_tpu.kernels.pallas_spmm import segment_matmul
+
+                csl = jnp.take(contrib_flat, mm_comp, axis=0) \
+                    * (plan_bwd.eperm >= 0)[:, None].astype(jnp.float32)
+                d_dense = segment_matmul(
+                    csl, plan_bwd.lrow, plan_bwd.tile_rb,
+                    plan_bwd.num_tiles, plan_bwd.edge_tile,
+                    plan_bwd.row_block,
+                    plan_bwd.num_row_blocks * plan_bwd.row_block,
+                )[:dense.shape[0]].astype(dense.dtype)
+                d_idx = jax.tree.map(_int_zero, idx)
+                return d_idx, d_values, d_dense
             contrib_csc = jnp.take(contrib_flat,
                                    jnp.take(ell_fwd.inv, perm), axis=0)
         elif used_pallas:
@@ -405,7 +424,7 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True),
            st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan(),
-           st.csc_col(), vslot)
+           st.csc_col(), vslot, st.mm_comp())
     return _spmm(reduce, algorithm, sparse.has_value, idx, values, dense)
 
 

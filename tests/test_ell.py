@@ -197,9 +197,12 @@ def test_ell_maxmin_grads_match_xla(reduce, has_value):
                   argnums=(0, 1))(v0, jnp.asarray(dense))
     gx = jax.grad(lambda v, d: loss(v, d, Algorithm.XLA_SEGMENT),
                   argnums=(0, 1))(v0, jnp.asarray(dense))
+    # d_dense now rides the one-hot MXU segment matmul (hi/lo bf16 split,
+    # ~fp32: worst-case ~1e-3 relative on cancellation-heavy sums) — the
+    # same accuracy contract as the SUM Pallas paths. d_values stays exact.
     for a, b in zip(ge, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-5)
+                                   rtol=2e-3, atol=2e-3)
 
 
 def test_ell_maxmin_empty_rows():
