@@ -53,6 +53,25 @@ class _BuildTimer:
             self.t0 = t
 
 
+class HostBuf:
+    """Host-resident numpy array carried in pytree AUX data (identity
+    hash/eq): plan-construction byproducts that no device kernel reads.
+    Keeping them out of the pytree leaves keeps 100M-edge plans from
+    pushing ~GBs through the host->device tunnel at construction (the
+    DenseCellPlan slot/eperm pair alone is ~740 MB at Reddit scale)."""
+
+    __slots__ = ("np",)
+
+    def __init__(self, arr):
+        self.np = np.asarray(arr)
+
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class EdgeTilePlan:
@@ -357,13 +376,16 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
         # Degenerate (no edges — e.g. the residue of a fully-dense hybrid
         # split): one empty K=1 bucket keeps every consumer's concat/einsum
         # well-formed; the recombination zeros block covers all rows.
-        return BucketedEllPlan(
+        plan = BucketedEllPlan(
             cols=jnp.zeros((0,), jnp.int32),
             eperm=jnp.full((0,), -1, jnp.int32),
             rows=jnp.zeros((0,), jnp.int32),
             inv_row=jnp.asarray(inv_row),
             inv=jnp.zeros((nnz,), jnp.int32), ks=(1,), rbs=(0,),
             num_rows=m, num_cols=num_cols, nnz=nnz)
+        plan._eperm_host = np.full((0,), -1, np.int32)
+        plan._inv_host = np.zeros(nnz, np.int32)
+        return plan
 
     cols_l, eperms_l, ks, rbs = [], [], [], []
     inv = np.zeros(nnz, np.int32)
@@ -393,13 +415,18 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
         eperms_l.append(ep.reshape(-1))
         ks.append(k)
         rbs.append(rb)
-    return BucketedEllPlan(
+    eperm_np = np.concatenate(eperms_l)
+    plan = BucketedEllPlan(
         cols=jnp.asarray(np.concatenate(cols_l)),
-        eperm=jnp.asarray(np.concatenate(eperms_l)),
+        eperm=jnp.asarray(eperm_np),
         rows=jnp.asarray(order.astype(np.int32)),
         inv_row=jnp.asarray(inv_row),
         inv=jnp.asarray(inv), ks=tuple(ks), rbs=tuple(rbs), num_rows=m,
         num_cols=num_cols, nnz=nnz)
+    # host copies for set_values()/remaps — save device round-trips later
+    plan._eperm_host = eperm_np
+    plan._inv_host = inv
+    return plan
 
 
 @jax.tree_util.register_pytree_node_class
@@ -418,9 +445,11 @@ class DenseCellPlan:
     is materialized by `materialize_cells` (cached on Storage for concrete
     values, rebuilt in-graph for traced values)."""
 
-    slot: jax.Array       # [nnz_d] int32 flat slot (cell*R*C + lr*C + lc),
-                          # sorted ascending (duplicates allowed — summed)
-    eperm: jax.Array      # [nnz_d] int32 original edge id per sorted slot
+    slot: object          # HostBuf [nnz_d] int32 flat slot (cell*R*C +
+                          # lr*C + lc), sorted ascending (duplicates sum).
+                          # HOST-side: only the host materializer and the
+                          # (small-scale) traced-values path read it.
+    eperm: object         # HostBuf [nnz_d] int32 original edge id per slot
     cell_rb: jax.Array    # [ncells] int32 row block (nondecreasing)
     cell_cw: jax.Array    # [ncells] int32 column window
     t_order: jax.Array    # [ncells] int32 cell visit order for the
@@ -435,14 +464,17 @@ class DenseCellPlan:
     nnz: int              # dense-tier edges only
 
     def tree_flatten(self):
-        return (self.slot, self.eperm, self.cell_rb, self.cell_cw,
+        # slot/eperm ride in AUX (HostBuf, identity-hashed): they are
+        # construction/materialization inputs, not kernel operands
+        return (self.cell_rb, self.cell_cw,
                 self.t_order, self.t_rb, self.t_cw), (
+            self.slot, self.eperm,
             self.num_cells, self.row_block, self.col_window,
             self.num_rows, self.num_cols, self.nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(aux[0], aux[1], *children, *aux[2:])
 
     @property
     def cell_slots(self) -> int:
@@ -455,7 +487,8 @@ class DenseCellPlan:
 def materialize_cells_np(plan: DenseCellPlan, values) -> np.ndarray:
     """Host-side cell materialization (construction-time cache path).
     values: [nnz_global] numpy or None (ones)."""
-    slot = np.asarray(jax.device_get(plan.slot))
+    slot = plan.slot.np if isinstance(plan.slot, HostBuf) \
+        else np.asarray(jax.device_get(plan.slot))
     n = plan.cell_slots
     if not len(slot):
         return np.zeros((plan.num_cells, plan.row_block, plan.col_window),
@@ -464,8 +497,9 @@ def materialize_cells_np(plan: DenseCellPlan, values) -> np.ndarray:
         # unweighted: the cell entry is the (row, col) multiplicity
         flat = np.bincount(slot, minlength=n).astype(np.float32)
     else:
-        v = np.asarray(values)[np.asarray(
-            jax.device_get(plan.eperm))].astype(np.float64)
+        ep = plan.eperm.np if isinstance(plan.eperm, HostBuf) \
+            else np.asarray(jax.device_get(plan.eperm))
+        v = np.asarray(values)[ep].astype(np.float64)
         # bincount-with-weights is a single C pass (np.add.at and
         # per-segment reduceat both measured 100x slower at 92M edges)
         flat = np.bincount(slot, weights=v, minlength=n).astype(np.float32)
@@ -490,8 +524,8 @@ def build_dense_cell_plan(coo_row, col, edge_ids, sel_cells, num_cw,
     cell_cw = (sel_cells % num_cw).astype(np.int32)
     t_order = np.lexsort((cell_rb, cell_cw)).astype(np.int32)
     return DenseCellPlan(
-        slot=jnp.asarray(slot[order].astype(np.int32)),
-        eperm=jnp.asarray(edge_ids[order].astype(np.int32)),
+        slot=HostBuf(slot[order].astype(np.int32)),
+        eperm=HostBuf(edge_ids[order].astype(np.int32)),
         cell_rb=jnp.asarray(cell_rb),
         cell_cw=jnp.asarray(cell_cw),
         t_order=jnp.asarray(t_order),
@@ -606,7 +640,7 @@ def build_hybrid_plan(
         if len(d_slot):
             t_order = np.lexsort((cell_rb, cell_cw)).astype(np.int32)
             cells = DenseCellPlan(
-                slot=jnp.asarray(d_slot), eperm=jnp.asarray(d_eperm),
+                slot=HostBuf(d_slot), eperm=HostBuf(d_eperm),
                 cell_rb=jnp.asarray(cell_rb), cell_cw=jnp.asarray(cell_cw),
                 t_order=jnp.asarray(t_order),
                 t_rb=jnp.asarray(cell_rb[t_order]),
@@ -674,22 +708,25 @@ def build_hybrid_plan(
         bell = build_bell_plan(b_rowptr, b_col, num_cols,
                                edge_tile=edge_tile, row_block=row_block,
                                col_window=col_window)
-        bp = np.asarray(bell.eperm)
-        bell.eperm = jnp.asarray(np.where(bp >= 0, b_ids[np.maximum(bp, 0)],
-                                          -1).astype(np.int32))
+        bp = bell._eperm_host
+        bp = np.where(bp >= 0, b_ids[np.maximum(bp, 0)], -1).astype(np.int32)
+        bell.eperm = jnp.asarray(bp)
+        bell._eperm_host = bp
     _bt.lap("bell tier")
     e_rowptr, e_col, e_ids = sub_csr(res_ids)
     _bt.lap("residue sub_csr")
     ell = build_bucketed_ell_plan(e_rowptr, e_col, num_cols)
     _bt.lap("residue bucketed ELL")
-    ep = np.asarray(ell.eperm)
-    ell.eperm = jnp.asarray(np.where(ep >= 0, e_ids[np.maximum(ep, 0)],
-                                     -1).astype(np.int32))
+    ep = ell._eperm_host
+    ep = np.where(ep >= 0, e_ids[np.maximum(ep, 0)], -1).astype(np.int32)
+    ell.eperm = jnp.asarray(ep)
+    ell._eperm_host = ep
     # residual inv maps original edge -> flat ELL slot; only meaningful
     # for residue edges (dense edges keep 0 — never read)
     inv = np.zeros(nnz, np.int32)
-    inv[e_ids] = np.asarray(ell.inv)
+    inv[e_ids] = ell._inv_host
     ell.inv = jnp.asarray(inv)
+    ell._inv_host = inv
     _bt.lap("residue eperm/inv remap")
 
     # transpose plan over the NON-cells edges for the backward's d_dense
@@ -713,23 +750,25 @@ def build_hybrid_plan(
         perm_t = order_t.astype(np.int32)
     _bt.lap("csr2csc transpose")
     ell_t = build_bucketed_ell_plan(colptr_t, row_t, m)
-    tp = np.asarray(ell_t.eperm)
-    ell_t.eperm = jnp.asarray(np.where(
-        tp >= 0, nd_ids[perm_t[np.maximum(tp, 0)]], -1).astype(np.int32))
+    tp = ell_t._eperm_host
+    tp = np.where(tp >= 0, nd_ids[perm_t[np.maximum(tp, 0)]],
+                  -1).astype(np.int32)
+    ell_t.eperm = jnp.asarray(tp)
+    ell_t._eperm_host = tp
     _bt.lap("transpose bucketed ELL")
 
     # SDDMM assembly permutation (see HybridPlan.edge_src)
     src = np.empty(nnz, np.int32)
     off = 0
     if cells is not None:
-        src[np.asarray(cells.eperm)] = np.asarray(cells.slot)
+        src[cells.eperm.np] = cells.slot.np
         off += cells.cell_slots
     if bell is not None:
-        bp = np.asarray(bell.eperm)
+        bp = bell._eperm_host
         valid = np.nonzero(bp >= 0)[0]
         src[bp[valid]] = off + valid.astype(np.int32)
         off += bell.padded_edges
-    ep_flat = np.asarray(ell.eperm)
+    ep_flat = ell._eperm_host
     valid = np.nonzero(ep_flat >= 0)[0]
     src[ep_flat[valid]] = off + valid.astype(np.int32)
     _bt.lap("edge_src assembly")
@@ -926,7 +965,7 @@ def build_bell_plan(
         tile_lb = jnp.asarray(lb.astype(np.int32))
         block_inv = jnp.asarray(binv.astype(np.int32))
 
-    return BellPlan(
+    plan = BellPlan(
         lcol=jnp.asarray(lcol),
         lrow=jnp.asarray(lrow),
         eperm=jnp.asarray(eperm),
@@ -945,3 +984,5 @@ def build_bell_plan(
         nnz=nnz,
         chunks=chunks,
     )
+    plan._eperm_host = np.asarray(eperm)
+    return plan

@@ -298,11 +298,16 @@ def materialize_cells(plan, values: Optional[jax.Array]) -> jax.Array:
     1-D segment-sum of the dense-tier edge values into the flat cell slots.
     For concrete values, Storage caches the host-built equivalent
     (core/planner.materialize_cells_np)."""
+    # slot/eperm are host-resident (planner.HostBuf, pytree aux); they
+    # enter the graph as constants here — acceptable at the traced-values
+    # scales this path serves (concrete values use the host cache)
+    slot = jnp.asarray(getattr(plan.slot, "np", plan.slot))
     if values is None:
-        v = jnp.ones(plan.slot.shape, jnp.float32)
+        v = jnp.ones(slot.shape, jnp.float32)
     else:
-        v = jnp.take(values, plan.eperm).astype(jnp.float32)
-    flat = jax.ops.segment_sum(v, plan.slot, num_segments=plan.cell_slots,
+        eperm = jnp.asarray(getattr(plan.eperm, "np", plan.eperm))
+        v = jnp.take(values, eperm).astype(jnp.float32)
+    flat = jax.ops.segment_sum(v, slot, num_segments=plan.cell_slots,
                                indices_are_sorted=True)
     return flat.reshape(plan.num_cells, plan.row_block, plan.col_window)
 

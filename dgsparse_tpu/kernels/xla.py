@@ -164,10 +164,18 @@ def sddmm_chunked(
     outs = []
     for e0 in range(0, nnz, per):
         e1 = min(e0 + per, nnz)
-        r = jax.lax.slice(coo_row, (e0,), (e1,))
         c = jax.lax.slice(col, (e0,), (e1,))
-        outs.append(jnp.einsum("ef,ef->e", jnp.take(d1, r, axis=0),
-                               jnp.take(d2, c, axis=0)))
+        if rowptr is not None:
+            # expand the sorted d1 side by repeat over the chunk's slice
+            # of the row segments (clipped rowptr): monotone streaming
+            # access, measured 2x over the random row gather (see sddmm)
+            rp_c = jnp.clip(rowptr, e0, e1)
+            deg_c = rp_c[1:] - rp_c[:-1]
+            a = jnp.repeat(d1, deg_c, axis=0, total_repeat_length=e1 - e0)
+        else:
+            r = jax.lax.slice(coo_row, (e0,), (e1,))
+            a = jnp.take(d1, r, axis=0)
+        outs.append(jnp.einsum("ef,ef->e", a, jnp.take(d2, c, axis=0)))
     out = jnp.concatenate(outs)
     if reduce == ReduceOp.MEAN:
         if degrees is None:

@@ -41,7 +41,7 @@ def test_hybrid_plan_built_and_partitions_edges():
         be = np.asarray(plan.bell.eperm)
         parts.append(be[be >= 0])
     if plan.cells is not None:
-        parts.append(np.asarray(plan.cells.eperm))
+        parts.append(np.asarray(plan.cells.eperm.np))
     ee = np.asarray(plan.ell.eperm)
     parts.append(ee[ee >= 0])
     ids = np.concatenate(parts)
@@ -49,7 +49,7 @@ def test_hybrid_plan_built_and_partitions_edges():
     # clustered test graph: communities are dense enough to materialize
     assert plan.cells is not None and plan.cells.num_cells > 0
     # dense-cell slots are sorted (segment-sum contract)
-    slot = np.asarray(plan.cells.slot)
+    slot = np.asarray(plan.cells.slot.np)
     assert np.all(np.diff(slot) >= 0)
 
 
@@ -147,8 +147,8 @@ def test_native_cell_split_matches_numpy():
     ref = build_dense_cell_plan(coo_row[mat_edges], col[mat_edges],
                                 mat_edges, sel, ncw, 128, 128, m, n,
                                 len(col))
-    np.testing.assert_array_equal(d_slot, np.asarray(ref.slot))
-    np.testing.assert_array_equal(d_eperm, np.asarray(ref.eperm))
+    np.testing.assert_array_equal(d_slot, ref.slot.np)
+    np.testing.assert_array_equal(d_eperm, ref.eperm.np)
 
 
 def test_hybrid_cached_values_backward():

@@ -45,9 +45,11 @@ def test_bell_plan_invariants():
 @pytest.mark.parametrize("feat", [32, 100])
 @pytest.mark.parametrize("reduce", [ReduceOp.SUM, ReduceOp.MEAN])
 def test_bell_forward_direct(feat, reduce):
+    # Build the plan directly: Storage now prefers the 3-tier hybrid on
+    # this dense-ish structure and skips the full-graph BELL plan, but the
+    # kernel itself is exercised by the hybrid's BELL tier and PALLAS_BELL.
     sp, rowptr, col, values, dense = make(feat=feat)
-    plan = sp.storage.bell_plan()
-    assert plan is not None, "dense-ish structure should build a bell plan"
+    plan = build_bell_plan(rowptr, col, 260)
     degrees = jnp.asarray(np.diff(rowptr))
     out = spmm_bell(plan, jnp.asarray(values), jnp.asarray(dense), reduce,
                     degrees)
@@ -59,7 +61,7 @@ def test_bell_forward_direct(feat, reduce):
 
 def test_bell_bf16_close():
     sp, rowptr, col, values, dense = make(feat=64, seed=3)
-    plan = sp.storage.bell_plan()
+    plan = build_bell_plan(rowptr, col, 260)
     out = spmm_bell(plan, jnp.asarray(values), jnp.asarray(dense),
                     compute_dtype=jnp.bfloat16)
     ref = spmm_oracle(rowptr, col, values, dense, "sum")

@@ -108,6 +108,13 @@ def test_sddmm_chunked_matches_unchunked(monkeypatch):
     # chunk boundaries regroup the F-axis accumulation: last-ulp grade
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                atol=1e-6)
+    # rowptr path: per-chunk clipped-degree repeat expansion of d1
+    rowptr = np.zeros(m + 1, np.int64)
+    rowptr[1:] = np.cumsum(np.bincount(row, minlength=m))
+    out_rp = kx.sddmm_chunked(jnp.asarray(row), jnp.asarray(col), d1, d2,
+                              rowptr=jnp.asarray(rowptr.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(out_rp), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
     g = jnp.asarray(rng.standard_normal(nnz).astype(np.float32))
     b1 = kx.sddmm_bwd_chunked(jnp.asarray(row), jnp.asarray(col), g, d2, m)
     r1 = jax.ops.segment_sum(
