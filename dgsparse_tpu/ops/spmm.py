@@ -265,46 +265,53 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
         if used_ell:
             # ELL forward → `arg_edge` is the winning K-SLOT per element, in
             # bucket-concat row order. Winner masks come from comparing
-            # against a K iota — NO gather at all for the mask; the only
-            # gathers are g/dense rows (needed by any formulation) and the
-            # two 1-D edge permutations via plan.inv.
-            from dgsparse_tpu.kernels.pallas_spmm import _ell_buckets
+            # against a K iota — NO gather at all for the mask. FLAT
+            # formulation: expand arg/g rows to slot space with jnp.repeat
+            # over the static per-row K (monotone streaming access — the
+            # same trick as the SDDMM d1 expansion) instead of a ~40-bucket
+            # loop of [rb,K,F] intermediates + concat (measured: the bucket
+            # loop's contrib build alone cost ~30 ms at arxiv-2.5M F=64,
+            # benchmark/probe_maxmin_bwd.py).
+            from dgsparse_tpu.core.planner import BucketedEllPlan
 
-            buckets, _ = _ell_buckets(ell_fwd)
-            dv_parts, contrib_parts = [], []
-            s0 = 0
-            for cols_b, mask_b, eperm_b, rows_b, k in buckets:
-                rb = cols_b.shape[0]
-                argk = arg_edge[s0:s0 + rb]
-                s0 += rb
-                g_b = g32 if rows_b is None else jnp.take(g32, rows_b,
-                                                          axis=0)
-                kio = jnp.arange(k, dtype=argk.dtype)[None, :, None]
-                win = jnp.logical_and(argk[:, None, :] == kio,
-                                      (mask_b > 0)[:, :, None])
-                g_win = jnp.where(win, g_b[:, None, :], 0)   # [rb, K, F]
-                if has_value:
-                    feats = jnp.take(dense, cols_b.reshape(-1),
-                                     axis=0).astype(jnp.float32)
-                    feats = feats.reshape(rb, k, -1)
-                    dv_parts.append(
-                        jnp.sum(g_win * feats, axis=-1).reshape(-1))
-                    v_b = jnp.take(values,
-                                   jnp.maximum(eperm_b, 0)).astype(
-                                       jnp.float32)
-                    contrib_parts.append(
-                        (g_win * v_b[:, :, None]).reshape(rb * k, -1))
-                else:
-                    contrib_parts.append(g_win.reshape(rb * k, -1))
+            if isinstance(ell_fwd, BucketedEllPlan):
+                rbs, ks = ell_fwd.rbs, ell_fwd.ks
+                g_cat = jnp.take(g32, ell_fwd.rows, axis=0)
+            else:
+                rbs, ks = (ell_fwd.num_rows,), (ell_fwd.k,)
+                g_cat = g32
+            flat_n = sum(rb * k for rb, k in zip(rbs, ks))
+            adt = arg_edge.dtype
+            reps = (jnp.full((rbs[0],), ks[0], jnp.int32)
+                    if len(ks) == 1 else
+                    jnp.concatenate([jnp.full((rb,), k, jnp.int32)
+                                     for rb, k in zip(rbs, ks)]))
+            slot_k = (jnp.tile(jnp.arange(ks[0], dtype=adt), rbs[0])
+                      if len(ks) == 1 else
+                      jnp.concatenate([jnp.tile(jnp.arange(k, dtype=adt),
+                                                rb)
+                                       for rb, k in zip(rbs, ks)]))
+            arg_flat = jnp.repeat(arg_edge, reps, axis=0,
+                                  total_repeat_length=flat_n)
+            g_flat = jnp.repeat(g_cat, reps, axis=0,
+                                total_repeat_length=flat_n)
+            eperm_flat = ell_fwd.eperm.reshape(-1)
+            win = jnp.logical_and(arg_flat == slot_k[:, None],
+                                  (eperm_flat >= 0)[:, None])
+            g_win = jnp.where(win, g_flat, 0)                # [slots, F]
             if has_value:
-                dv_flat = (dv_parts[0] if len(dv_parts) == 1
-                           else jnp.concatenate(dv_parts))
+                feats = jnp.take(dense, ell_fwd.cols.reshape(-1),
+                                 axis=0).astype(jnp.float32)
+                dv_flat = jnp.sum(g_win * feats, axis=-1)
                 d_values = jnp.take(dv_flat, ell_fwd.inv).astype(
                     values.dtype)
+                v_flat = jnp.take(values,
+                                  jnp.maximum(eperm_flat, 0)).astype(
+                                      jnp.float32)
+                contrib_flat = g_win * v_flat[:, None]
             else:
                 d_values = jnp.zeros_like(values)
-            contrib_flat = (contrib_parts[0] if len(contrib_parts) == 1
-                            else jnp.concatenate(contrib_parts, axis=0))
+                contrib_flat = g_win
             if mm_comp is not None and plan_bwd is not None:
                 # Feed winner contributions straight into the one-hot MXU
                 # segment matmul over the transpose ESC plan via the
