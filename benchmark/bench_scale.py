@@ -203,6 +203,82 @@ def bench_reddit_hybrid(name, rowptr, col, feat):
     return rows
 
 
+def bench_attention(name, rowptr, col, feat):
+    """Fused slot-space GAT attention (ops/attention.gat_attention) vs the
+    edge-space pipeline (coo gathers + edge_softmax + lean SpMM) at scale.
+    The fused path never materializes a CSR-edge-order [nnz] intermediate;
+    the edge-space pipeline pays ~3 of them plus the per-op slot
+    conversions."""
+    import jax as _jax
+
+    from dgsparse_tpu import SparseTensor, edge_softmax, spmm
+    from dgsparse_tpu.core.planner import (build_hybrid_plan,
+                                           materialize_cells_np)
+    from dgsparse_tpu.ops.attention import _hybrid_attention, _leaky
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
+
+    m, nnz = len(rowptr) - 1, len(col)
+    n = m
+    t0 = time.perf_counter()
+    plan = build_hybrid_plan(rowptr, col, n)
+    if plan is None:
+        log(f"[{name}] attention: no hybrid plan; skipped")
+        return []
+    mult = None
+    if plan.cells is not None:
+        mult = jnp.asarray(materialize_cells_np(plan.cells, None))
+    log(f"[{name}] attention plan+cells {time.perf_counter()-t0:.1f}s")
+    rng = np.random.default_rng(7)
+    s_row = jnp.asarray(rng.standard_normal(m).astype(np.float32))
+    s_col = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
+    rows = []
+
+    def arow(alg, dt):
+        r = {"graph": name, "alg": alg, "op": "attention", "nnz": nnz,
+             "feat": feat, "us": round(dt * 1e6, 1),
+             "medges_s": round(nnz / dt / 1e6, 1)}
+        log(f"[{name}] attention {alg:24s} F={feat:<4d} "
+            f"{dt*1e6:10.1f} us  {r['medges_s']:8.1f} Medge/s")
+        return r
+
+    dt = time_pytree_2pt(
+        lambda sr, sc, xx, pl_, mu: _hybrid_attention(pl_, mu, sr, sc,
+                                                      xx, 0.2),
+        (s_row, s_col, x, plan, mult), iters=(3, 9), repeats=3)
+    rows.append(arow("SLOT_FUSED fwd", dt))
+
+    def fwdbwd(sr, sc, xx, pl_, mu):
+        def f(a, b, c):
+            out = _hybrid_attention(pl_, mu, a, b, c, 0.2)
+            return jnp.vdot(out, xx), out
+
+        (_, out), grads = _jax.value_and_grad(
+            f, argnums=(0, 1, 2), has_aux=True)(sr, sc, xx)
+        return out + grads[2]
+
+    dt = time_pytree_2pt(fwdbwd, (s_row, s_col, x, plan, mult),
+                        iters=(2, 6), repeats=3)
+    rows.append(arow("SLOT_FUSED fwd+bwd", dt))
+
+    # edge-space comparator: lean storage (XLA paths), logits by gather
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               None, sparse_sizes=(m, n),
+                               build_plans=False)
+    coo = sp.storage.coo_row()
+    colj = sp.storage.col()
+
+    def edge_space(sr, sc, xx):
+        z = jnp.take(sr, coo) + jnp.take(sc, colj)
+        alpha = edge_softmax(sp, _leaky(z, 0.2))
+        return spmm(sp.set_values(alpha), xx, "sum")
+
+    dt = time_pytree_2pt(edge_space, (s_row, s_col, x), iters=(2, 6),
+                         repeats=3)
+    rows.append(arow("EDGE_SPACE fwd", dt))
+    return rows
+
+
 def _sddmm_row(name, alg, nnz, m, n, feat, dt):
     if dt <= 0:
         log(f"[{name}] {alg}: degenerate timing; row skipped")
@@ -309,7 +385,7 @@ def main():
     ap.add_argument("--skip-arxiv", action="store_true")
     ap.add_argument("--only", default=None,
                     help="run one section: hybrid | sddmm-reddit | "
-                         "lean | sddmm-arxiv")
+                         "lean | sddmm-arxiv | attention")
     ap.add_argument("--out", default="benchmark/results_scale.json")
     args = ap.parse_args()
     results = []
@@ -339,7 +415,7 @@ def main():
         section(bench_sddmm, "arxiv-scale", rowptr, col, (64, 128))
 
     if not args.quick:
-        if only in (None, "hybrid", "sddmm-reddit"):
+        if only in (None, "hybrid", "sddmm-reddit", "attention"):
             # --- reddit scale, clustered (hybrid BELL+ELL target) ---
             rowptr, col = clustered_graph(232965, 232965, 492, seed=4)
             if only in (None, "hybrid"):
@@ -348,6 +424,9 @@ def main():
             if only in (None, "sddmm-reddit"):
                 section(bench_sddmm, "reddit-clustered", rowptr, col,
                         (64,), True)
+            if only in (None, "attention"):
+                section(bench_attention, "reddit-clustered", rowptr,
+                        col, 64)
         if only in (None, "lean"):
             # --- reddit scale, random (lean chunked path) ---
             rowptr, col = clustered_graph(232965, 232965, 492, seed=5,

@@ -31,6 +31,7 @@ from dgsparse_tpu.ops.spmm import spmm, spmm_sum, spmm_mean, spmm_max, spmm_min
 from dgsparse_tpu.ops.spmm_mh import spmm_multihead
 from dgsparse_tpu.ops.sddmm import sddmm, sddmm_coo
 from dgsparse_tpu.ops.gspmm import gspmm, GSpMM_u_e, GSpMM_u
+from dgsparse_tpu.ops.attention import gat_attention
 from dgsparse_tpu.ops.edge_softmax import edge_softmax
 
 def version() -> dict:
@@ -71,5 +72,6 @@ __all__ = [
     "GSpMM_u_e",
     "GSpMM_u",
     "edge_softmax",
+    "gat_attention",
     "__version__",
 ]

@@ -39,6 +39,21 @@ class GATConv(nn.Module):
         sd = jnp.einsum("nhf,hf->nh", h, a_dst)
         ss = jnp.einsum("nhf,hf->nh", h, a_src)
         st = adj.storage
+        from dgsparse_tpu.core.planner import HybridPlan
+
+        # slot-space fused path: rank-1 logits + softmax + weighted SpMM
+        # without any CSR-edge-order intermediate (ops/attention). Gated
+        # to big graphs: the per-head loop only beats the all-heads-at-
+        # once edge pipeline when the [nnz]-order intermediates dominate.
+        if isinstance(st.ell_plan(), HybridPlan) and st.nnz() >= (1 << 21):
+            from dgsparse_tpu.ops.attention import gat_attention
+
+            outs = [gat_attention(adj, sd[:, i], ss[:, i], h[:, i],
+                                  self.negative_slope)
+                    for i in range(self.num_heads)]
+            out = jnp.stack(outs, axis=1)
+            return out.reshape(x.shape[0],
+                               self.num_heads * self.out_features)
         row, col = st.coo_row(), st.col()
         logits = jnp.take(sd, row, axis=0) + jnp.take(ss, col, axis=0)
         logits = nn.leaky_relu(logits, self.negative_slope)  # [nnz, H]

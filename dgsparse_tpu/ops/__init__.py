@@ -1,4 +1,5 @@
 from dgsparse_tpu.ops import (  # noqa: F401
+    attention,
     edge_softmax,
     gspmm,
     sddmm,
@@ -8,6 +9,7 @@ from dgsparse_tpu.ops import (  # noqa: F401
     spmm_mh,
     types,
 )
+from dgsparse_tpu.ops.attention import gat_attention  # noqa: F401
 from dgsparse_tpu.ops.segment import sorted_segment_sum  # noqa: F401
 from dgsparse_tpu.ops.spmm_mh import spmm_multihead  # noqa: F401
 from dgsparse_tpu.ops.spconv import (  # noqa: F401
