@@ -150,7 +150,7 @@ def _hybrid_weights(hp, mult_cells, s_row, s_col, shift, slope):
     return w, zs
 
 
-def _hybrid_fwd_core(hp, mult_cells, s_row, s_col, x, slope):
+def _hybrid_fwd_core(hp, mult_cells, s_row, s_col, x, slope, cd):
     from dgsparse_tpu.kernels.pallas_spmm import spmm_hybrid
 
     shift = jax.lax.stop_gradient(
@@ -161,24 +161,27 @@ def _hybrid_fwd_core(hp, mult_cells, s_row, s_col, x, slope):
     xd = jnp.concatenate(
         [x.astype(jnp.float32), jnp.ones((x.shape[0], 1), jnp.float32)],
         axis=1)
-    nd = spmm_hybrid(hp, None, xd, ReduceOp.SUM, w_slot=w)
+    nd = spmm_hybrid(hp, None, xd, ReduceOp.SUM, w_slot=w,
+                     compute_dtype=cd)
     denom = jnp.maximum(nd[:, f], _TINY)
     out = nd[:, :f] / denom[:, None]
     return out.astype(x.dtype), (shift, denom, out)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _hybrid_attention(hp, mult_cells, s_row, s_col, x, slope):
-    return _hybrid_fwd_core(hp, mult_cells, s_row, s_col, x, slope)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _hybrid_attention(hp, mult_cells, s_row, s_col, x, slope,
+                      cd=jnp.float32):
+    return _hybrid_fwd_core(hp, mult_cells, s_row, s_col, x, slope,
+                            cd)[0]
 
 
-def _hybrid_attention_fwd(hp, mult_cells, s_row, s_col, x, slope):
+def _hybrid_attention_fwd(hp, mult_cells, s_row, s_col, x, slope, cd):
     out, (shift, denom, out32) = _hybrid_fwd_core(hp, mult_cells, s_row,
-                                                  s_col, x, slope)
+                                                  s_col, x, slope, cd)
     return out, (hp, mult_cells, s_row, s_col, x, shift, denom, out32)
 
 
-def _hybrid_attention_bwd(slope, res, g):
+def _hybrid_attention_bwd(slope, cd, res, g):
     from dgsparse_tpu.kernels.pallas_sddmm import sddmm_cells
     from dgsparse_tpu.kernels.pallas_spmm import (spmm_hybrid,
                                                   spmm_hybrid_t)
@@ -205,7 +208,8 @@ def _hybrid_attention_bwd(slope, res, g):
                + _ell_slot_rowvals(hp.ell_t, sc32))
         e_t = jnp.exp(_leaky(z_t, slope) - jnp.take(shift, rows_safe))
         wt["ell_t"] = jnp.where(hp.ell_t.eperm.reshape(-1) >= 0, e_t, 0)
-    d_x = spmm_hybrid_t(hp, None, u, w_slot=wt).astype(x.dtype)
+    d_x = spmm_hybrid_t(hp, None, u, w_slot=wt,
+                        compute_dtype=cd).astype(x.dtype)
 
     # --- d_logits per slot: dz = E * (dsig - rho[row]) * lrelu'(z) ------
     # dsig_rc = dot(u[r], x[c])  (the softmax-weight cotangent)
@@ -265,6 +269,7 @@ def gat_attention(
     s_col: jax.Array,          # [N] source-side score half
     x: jax.Array,              # [N, F] values to aggregate
     negative_slope: float = 0.2,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Softmax attention aggregation over the edges of `sparse`:
     out[r] = sum_c alpha_rc x[c] with alpha = softmax_r(LeakyReLU(
@@ -291,7 +296,7 @@ def gat_attention(
 
                 mult = materialize_cells(hp.cells, None)
         return _hybrid_attention(hp, mult, s_row, s_col, x,
-                                 float(negative_slope))
+                                 float(negative_slope), compute_dtype)
     return _edge_space_attention(sparse, s_row, s_col, x, negative_slope)
 
 
