@@ -616,9 +616,17 @@ def build_hybrid_plan(
     if nnz == 0:
         return None
     _bt = _BuildTimer("hybrid")
-    deg = np.diff(rowptr)
-    coo_row = np.repeat(np.arange(m, dtype=np.int32), deg)
-    _bt.lap("coo_row expand")
+
+    # lazy [nnz] row-id expansion: the native split path never needs it
+    # (sub-CSR degrees come from searchsorted below) — skipping the
+    # 115M-element np.repeat saves ~14 s at Reddit scale
+    _coo = [None]
+
+    def coo_row_arr():
+        if _coo[0] is None:
+            _coo[0] = np.repeat(np.arange(m, dtype=np.int32),
+                                np.diff(rowptr))
+        return _coo[0]
     num_cw = max(-(-num_cols // col_window), 1)
     max_cells = min(int(cells_budget_bytes) // (4 * row_block * col_window),
                     65536)
@@ -650,6 +658,7 @@ def build_hybrid_plan(
                 nnz=len(d_slot))
             _bt.lap("DenseCellPlan device arrays")
     else:
+        coo_row = coo_row_arr()
         cell = (coo_row.astype(np.int64) // row_block) * num_cw \
             + col.astype(np.int64) // col_window
         # count edges per touched cell via sort (cells of one row block are
@@ -695,11 +704,10 @@ def build_hybrid_plan(
     def sub_csr(ids):
         ids = np.asarray(ids)                        # CSR order (sorted),
         sub_col = col[ids]                           # int32 indexing is fine
-        sub_deg = np.bincount(coo_row[ids], minlength=m)
-        sub_rowptr = np.zeros(m + 1, np.int64)
-        sub_rowptr[1:] = np.cumsum(sub_deg)
-        return sub_rowptr.astype(np.int32), sub_col, ids.astype(np.int32,
-                                                               copy=False)
+        # per-row counts of the sorted edge-id subset without touching a
+        # [nnz] coo_row table: one searchsorted over rowptr
+        sub_rowptr = np.searchsorted(ids, rowptr).astype(np.int32)
+        return sub_rowptr, sub_col, ids.astype(np.int32, copy=False)
 
     _bt.lap("cell tier done")
     bell = None
@@ -745,7 +753,7 @@ def build_hybrid_plan(
         colptr_t = np.zeros(num_cols + 1, np.int64)
         colptr_t[1:] = np.cumsum(np.bincount(nd_col, minlength=num_cols))
         colptr_t = colptr_t.astype(np.int32)
-        coo_nd = coo_row[nd_ids.astype(np.int64)]
+        coo_nd = coo_row_arr()[nd_ids.astype(np.int64)]
         row_t = coo_nd[order_t].astype(np.int32)
         perm_t = order_t.astype(np.int32)
     _bt.lap("csr2csc transpose")

@@ -435,54 +435,69 @@ void dg_cell_split_fill(const int32_t* rowptr, const int32_t* col,
     cell_cw[i] = (int32_t)(cs.sel[i] % cs.ncw);
     group_off[i + 1] = group_off[i] + cs.counts[cs.sel[i]];
   }
-  // group dense edges by cell (CSR order preserved within each cell)
-  std::vector<int64_t> cursor(group_off.begin(), group_off.end() - 1);
-  std::vector<int32_t> grouped(cs.n_dense);
+  // Block-row-local two-sweep counting sort. The first version grouped
+  // all dense edges globally (random 366 MB scatter) and recovered rows
+  // through a full [nnz] erow table (two more random O(nnz) streams) —
+  // 77 s at 115M edges. Processing one 128-row block at a time keeps
+  // every histogram and the tier slice cache-resident: measured seconds.
   int64_t bc = 0, rc = 0;
-  for (int32_t r = 0; r < m; ++r) {
-    int64_t base = (int64_t)(r / R) * cs.ncw;
-    for (int32_t e = rowptr[r]; e < rowptr[r + 1]; ++e) {
-      int64_t cell = base + col[e] / C;
-      switch (cs.tier[cell]) {
-        case 2:
-          grouped[cursor[cidx[cell]]++] = e;
-          break;
-        case 1:
-          bell_ids[bc++] = e;
-          break;
-        default:
-          res_ids[rc++] = e;
+  const int64_t slots = (int64_t)R * C;
+  std::vector<int32_t> hist;          // [nloc * R*C] per block row
+  std::vector<int32_t> loc_cells;     // selected cells of this block row
+  for (int32_t rb = 0; rb < cs.nrb; ++rb) {
+    const int32_t r0 = rb * R;
+    const int32_t r1 = std::min(m, r0 + R);
+    const int64_t cbase = (int64_t)rb * cs.ncw;
+    loc_cells.clear();
+    for (int32_t cw = 0; cw < cs.ncw; ++cw)
+      if (cs.tier[cbase + cw] == 2) loc_cells.push_back(cw);
+    const int64_t nloc = (int64_t)loc_cells.size();
+    // local cw -> histogram index (dense map over this block row only)
+    std::vector<int32_t> lmap(cs.ncw, -1);
+    for (int64_t i = 0; i < nloc; ++i) lmap[loc_cells[i]] = (int32_t)i;
+    if (nloc) {
+      hist.assign(nloc * slots, 0);
+      for (int32_t r = r0; r < r1; ++r) {
+        const int32_t lr = r - r0;
+        for (int32_t e = rowptr[r]; e < rowptr[r + 1]; ++e) {
+          const int32_t cw = col[e] / C;
+          const int32_t li = lmap[cw];
+          if (li >= 0) hist[(int64_t)li * slots + lr * C + col[e] % C]++;
+        }
+      }
+      // exclusive prefix per local cell -> global write cursors
+      for (int64_t i = 0; i < nloc; ++i) {
+        const int64_t gi = cidx[cbase + loc_cells[i]];
+        int64_t acc = group_off[gi];
+        int32_t* h = hist.data() + i * slots;
+        for (int64_t s = 0; s < slots; ++s) {
+          const int32_t c0 = h[s];
+          h[s] = (int32_t)(acc - group_off[gi]);  // offset within group
+          acc += c0;
+        }
       }
     }
-  }
-  // per-cell counting sort by local slot (lr*C + lc), stable in CSR order
-  std::vector<int32_t> cnt((int64_t)R * C);
-  // recover row from edge id by walking rowptr once (row per edge)
-  std::vector<int32_t> erow(rowptr[m]);
-  for (int32_t r = 0; r < m; ++r)
-    for (int32_t e = rowptr[r]; e < rowptr[r + 1]; ++e) erow[e] = r;
-  std::vector<int32_t> sbuf;
-  for (int64_t i = 0; i < nsel; ++i) {
-    int64_t lo = group_off[i], hi = group_off[i + 1];
-    std::fill(cnt.begin(), cnt.end(), 0);
-    sbuf.resize(hi - lo);
-    for (int64_t j = lo; j < hi; ++j) {
-      int32_t e = grouped[j];
-      int32_t s = (erow[e] % R) * C + (col[e] % C);
-      sbuf[j - lo] = s;
-      cnt[s]++;
-    }
-    int32_t acc = 0;
-    for (int64_t s = 0; s < (int64_t)R * C; ++s) {
-      int32_t c0 = cnt[s];
-      cnt[s] = acc;
-      acc += c0;
-    }
-    int64_t cell_base = i * (int64_t)R * C;
-    for (int64_t j = lo; j < hi; ++j) {
-      int64_t pos = lo + cnt[sbuf[j - lo]]++;
-      d_slot[pos] = (int32_t)(cell_base + sbuf[j - lo]);
-      d_eperm[pos] = grouped[j];
+    for (int32_t r = r0; r < r1; ++r) {
+      const int32_t lr = r - r0;
+      for (int32_t e = rowptr[r]; e < rowptr[r + 1]; ++e) {
+        const int32_t cw = col[e] / C;
+        switch (cs.tier[cbase + cw]) {
+          case 2: {
+            const int64_t li = lmap[cw];
+            const int64_t gi = cidx[cbase + cw];
+            const int32_t s = lr * C + col[e] % C;
+            const int64_t pos = group_off[gi] + hist[li * slots + s]++;
+            d_slot[pos] = (int32_t)(gi * slots + s);
+            d_eperm[pos] = e;
+            break;
+          }
+          case 1:
+            bell_ids[bc++] = e;
+            break;
+          default:
+            res_ids[rc++] = e;
+        }
+      }
     }
   }
 }
