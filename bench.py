@@ -105,9 +105,12 @@ def main():
         # (fastest measured), the ESC edge-tile path, and the XLA fallback
         # as the safety net if a Pallas child fails or the device
         # misbehaves.
-        for alg, timeout in (("PALLAS_ROW_TILE", 700),
-                             ("PALLAS_EDGE_TILE", 500),
-                             ("XLA_SEGMENT", 400)):
+        # budget per child: ~30 s backend init + ~2 s construction + one
+        # compile + 2-point timing; round 2's 700 s headroom was cold-start
+        # misattribution, now measured separately (init/construction logs)
+        for alg, timeout in (("PALLAS_ROW_TILE", 420),
+                             ("PALLAS_EDGE_TILE", 360),
+                             ("XLA_SEGMENT", 300)):
             out_path = os.path.join(td, f"{alg}.json")
             try:
                 subprocess.run(
