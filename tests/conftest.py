@@ -25,6 +25,12 @@ import jax  # noqa: E402
 
 if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
+else:
+    # persistent compile cache: the on-TPU suite compiles hundreds of
+    # kernel shapes at 20-40 s each through the tunnel on a cold run
+    from dgsparse_tpu.utils.cache import enable as _enable_cache
+
+    _enable_cache()
 jax.config.update("jax_enable_x64", False)
 
 # Pallas kernels run in interpret mode off-TPU.
