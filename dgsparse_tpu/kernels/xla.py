@@ -116,13 +116,17 @@ def sddmm(
     Reference: sddmmCSR2Scale/sddmmCSR1Scale
     (include/cuda/sddmm_cuda.cuh:222-401).
 
-    When `rowptr` is given, the d1 side is expanded with `jnp.repeat`
-    over the (monotonic) row segments instead of a random row gather —
-    measured 2x on arxiv-scale F=64 (16.6 -> 8.5 ms; the repeat's
-    monotone access pattern streams where the gather is issue-bound,
-    benchmark/probe_sddmm.py).
+    When `rowptr` is given AND rows are short, the d1 side is expanded
+    with `jnp.repeat` over the (monotonic) row segments instead of a
+    random row gather — measured 2x on arxiv-scale F=64 (16.6 -> 8.5 ms;
+    the repeat's monotone access pattern streams where the gather is
+    issue-bound, benchmark/probe_sddmm.py). For LONG rows (reddit-scale
+    avg degree ~500) the coo_row gather re-reads one cached row per
+    segment and already streams — there the repeat lowering (cumsum +
+    gather) measured 2x SLOWER on bf16 — so the expansion is gated on
+    average degree.
     """
-    if rowptr is not None:
+    if rowptr is not None and _repeat_wins(rowptr, col.shape[0]):
         deg = rowptr[1:] - rowptr[:-1]
         d1e = jnp.repeat(d1, deg, axis=0,
                          total_repeat_length=col.shape[0])
@@ -135,6 +139,13 @@ def sddmm(
         deg = jnp.take(jnp.maximum(degrees, 1).astype(out.dtype), coo_row)
         out = out / deg
     return out
+
+
+def _repeat_wins(rowptr, nnz: int) -> bool:
+    """Static gate: repeat-expansion beats the d1 row gather only when
+    rows are short (avg degree <= 64); see sddmm docstring."""
+    m = rowptr.shape[0] - 1
+    return nnz <= 64 * max(m, 1)
 
 
 # Largest gathered [chunk, F] buffer the chunked SDDMM materializes at
@@ -165,7 +176,7 @@ def sddmm_chunked(
     for e0 in range(0, nnz, per):
         e1 = min(e0 + per, nnz)
         c = jax.lax.slice(col, (e0,), (e1,))
-        if rowptr is not None:
+        if rowptr is not None and _repeat_wins(rowptr, nnz):
             # expand the sorted d1 side by repeat over the chunk's slice
             # of the row segments (clipped rowptr): monotone streaming
             # access, measured 2x over the random row gather (see sddmm)
