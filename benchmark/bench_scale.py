@@ -261,21 +261,28 @@ def bench_attention(name, rowptr, col, feat):
                         iters=(2, 6), repeats=3)
     rows.append(arow("SLOT_FUSED fwd+bwd", dt))
 
-    # edge-space comparator: lean storage (XLA paths), logits by gather
-    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
-                               None, sparse_sizes=(m, n),
-                               build_plans=False)
-    coo = sp.storage.coo_row()
-    colj = sp.storage.col()
+    # edge-space comparator: lean storage (XLA paths), logits by gather.
+    # The SparseTensor rides as a timed ARGUMENT — closure-captured
+    # storages embed 115M-edge index arrays as HLO constants (observed:
+    # 2.3 GB lowering constants, compile-request blowup).
+    try:
+        sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                                   None, sparse_sizes=(m, n),
+                                   build_plans=False)
 
-    def edge_space(sr, sc, xx):
-        z = jnp.take(sr, coo) + jnp.take(sc, colj)
-        alpha = edge_softmax(sp, _leaky(z, 0.2))
-        return spmm(sp.set_values(alpha), xx, "sum")
+        def edge_space(sr, sc, xx, spa):
+            st = spa.storage
+            z = (jnp.take(sr, st.coo_row())
+                 + jnp.take(sc, st.col()))
+            alpha = edge_softmax(spa, _leaky(z, 0.2))
+            return spmm(spa.set_values(alpha), xx, "sum")
 
-    dt = time_pytree_2pt(edge_space, (s_row, s_col, x), iters=(2, 6),
-                         repeats=3)
-    rows.append(arow("EDGE_SPACE fwd", dt))
+        dt = time_pytree_2pt(edge_space, (s_row, s_col, x, sp),
+                             iters=(2, 6), repeats=3)
+        rows.append(arow("EDGE_SPACE fwd", dt))
+    except Exception as ex:
+        log(f"[{name}] edge-space comparator failed: "
+            f"{type(ex).__name__}: {ex}")
     return rows
 
 
