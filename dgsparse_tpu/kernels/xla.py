@@ -93,7 +93,35 @@ def spmm_forward(
 
     Reference: csrspmm_seqreduce_rowbalance_kernel
     (include/cuda/spmm_cuda.cuh:10-55).
+
+    SUM/MEAN on very large graphs chunk the edge axis so the [nnz, F]
+    contribution buffer never materializes (115M edges at F=64 is 29 GB
+    — the un-chunked form cannot allocate on a 16 GB chip; the lean-mode
+    analog of the reference's grid-strided launches). Each chunk's ids
+    stay sorted, partials add. MAX/MIN keep the one-shot form (the
+    winning-edge residual needs global compare).
     """
+    nnz = col.shape[0]
+    f = dense.shape[-1]
+    per = max(_SPMM_CHUNK_BUDGET // (4 * max(f, 1)), 1)
+    if reduce in (ReduceOp.SUM, ReduceOp.MEAN) and nnz > per:
+        out = jnp.zeros((num_rows, f), jnp.float32)
+        for e0 in range(0, nnz, per):
+            e1 = min(e0 + per, nnz)
+            c = jax.lax.slice(col, (e0,), (e1,))
+            r = jax.lax.slice(coo_row, (e0,), (e1,))
+            contrib = jnp.take(dense, c, axis=0).astype(jnp.float32)
+            if values is not None:
+                v = jax.lax.slice(values, (e0,), (e1,))
+                contrib = contrib * v[:, None].astype(jnp.float32)
+            out = out + jax.ops.segment_sum(
+                contrib, r, num_segments=num_rows,
+                indices_are_sorted=True)
+        if reduce == ReduceOp.MEAN:
+            if degrees is None:
+                degrees = jnp.bincount(coo_row, length=num_rows)
+            out = out / jnp.maximum(degrees, 1).astype(out.dtype)[:, None]
+        return out.astype(dense.dtype), None
     gathered = jnp.take(dense, col, axis=0)
     if values is not None:
         gathered = gathered * values[:, None].astype(gathered.dtype)
@@ -151,6 +179,8 @@ def _repeat_wins(rowptr, nnz: int) -> bool:
 # Largest gathered [chunk, F] buffer the chunked SDDMM materializes at
 # once; 115M-edge graphs at F=64 would need 29 GB un-chunked.
 _SDDMM_CHUNK_BUDGET = 512 << 20
+# Same budget for the XLA SpMM's [nnz, F] contribution buffer.
+_SPMM_CHUNK_BUDGET = 512 << 20
 
 
 def sddmm_chunked(

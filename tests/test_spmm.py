@@ -130,3 +130,37 @@ def test_sparse_tensor_through_jit():
     out = f(sp, jnp.asarray(dense))
     ref = spmm_sum(sp, jnp.asarray(dense), 0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_xla_spmm_edge_chunked_matches_unchunked(monkeypatch):
+    """Lean-mode edge chunking of the XLA segment SpMM (100M+-edge
+    graphs: the [nnz, F] contribution buffer cannot materialize)."""
+    from dgsparse_tpu.kernels import xla as kx
+    from dgsparse_tpu.ops.types import ReduceOp
+
+    rng = np.random.default_rng(3)
+    m = n = 300
+    nnz = 4000
+    row = np.sort(rng.integers(0, m, nnz)).astype(np.int32)
+    col = rng.integers(0, n, nnz).astype(np.int32)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    dense = rng.standard_normal((n, 16)).astype(np.float32)
+    ref, _ = kx.spmm_forward(jnp.asarray(row), jnp.asarray(col),
+                             jnp.asarray(vals), jnp.asarray(dense), m,
+                             ReduceOp.SUM)
+    monkeypatch.setattr(kx, "_SPMM_CHUNK_BUDGET", 1024)
+    out, arg = kx.spmm_forward(jnp.asarray(row), jnp.asarray(col),
+                               jnp.asarray(vals), jnp.asarray(dense), m,
+                               ReduceOp.SUM)
+    assert arg is None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # MEAN divides once at the end
+    refm, _ = kx.spmm_forward(jnp.asarray(row), jnp.asarray(col),
+                              jnp.asarray(vals), jnp.asarray(dense), m,
+                              ReduceOp.MEAN)
+    np.testing.assert_allclose(
+        np.asarray(refm),
+        np.asarray(ref) / np.maximum(
+            np.bincount(row, minlength=m), 1)[:, None],
+        rtol=1e-5, atol=1e-5)
