@@ -218,15 +218,25 @@ def spconv_sharded(plan: ShardedSpConv, x: jax.Array, kernel: jax.Array,
                                   axis=0)
         out = jnp.dot(x_own, kernel[plan.mid],
                       preferred_element_type=jnp.float32)
-        for kp in range(plan.k_vol):
-            if kp == plan.mid:
-                continue
-            idx = o2i[kp]
+        # Off-center taps as a lax.scan over [k_vol-1] stacked (o2i row,
+        # kernel tap): an unrolled Python loop emits k_vol copies of the
+        # gather+dot graph, and under shard_map+vjp that made a 27-tap
+        # grad compile ~50x slower than the single-device path (and would
+        # be 125 copies for a 5^3 kernel). Each step is still a full
+        # [own, C_in] x [C_in, C_out] MXU matmul.
+        m = plan.mid
+        idxs = jnp.concatenate([o2i[:m], o2i[m + 1:]], axis=0)
+        kers = jnp.concatenate([kernel[:m], kernel[m + 1:]], axis=0)
+
+        def tap(acc, ik):
+            idx, ker = ik
             hit = (idx >= 0)[:, None]
             g = jnp.where(hit, jnp.take(x_local, jnp.maximum(idx, 0),
                                         axis=0), 0)
-            out = out + jnp.dot(g, kernel[kp],
-                                preferred_element_type=jnp.float32)
+            return acc + jnp.dot(g, ker,
+                                 preferred_element_type=jnp.float32), None
+
+        out, _ = jax.lax.scan(tap, out, (idxs, kers))
         return (out * mask[:, None]).astype(x.dtype)
 
     fn = shard_map(
