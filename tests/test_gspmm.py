@@ -123,7 +123,7 @@ def test_gspmm_maxmin_ell_matches_xla(compute, reduce):
     path, on integer data so ties are exact."""
     from dgsparse_tpu.ops import gspmm as G
 
-    m, n, f = 900, 800, 12
+    m, n, f = 750, 680, 12
     rowptr, col, _ = random_csr(m, n, avg_degree=6, seed=50, skew=1.0)
     rng = np.random.default_rng(51)
     values = rng.integers(1, 5, len(col)).astype(np.float32)  # >0 for div
@@ -155,7 +155,7 @@ def test_gspmm_maxmin_ell_matches_xla(compute, reduce):
 def test_gspmm_copy_u_max_ell():
     from dgsparse_tpu.ops import gspmm as G
 
-    m, n, f = 900, 800, 8
+    m, n, f = 750, 680, 8
     rowptr, col, _ = random_csr(m, n, avg_degree=6, seed=52, skew=1.0)
     rng = np.random.default_rng(53)
     dense = rng.integers(-3, 4, (n, f)).astype(np.float32)
