@@ -130,6 +130,38 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Lane-packing for F < 128 ELL pipelines: fold g = 128/F adjacent K-slots
+# of one row into a single 128-lane group so the w-multiply + K-sum passes
+# run on full vector lanes ([slots, F<128] buffers pad the minor dim to
+# 128 lanes on TPU, taxing every elementwise pass by 128/F — measured
+# ~360 us of the 772 us p2p F=32 headline, BENCHMARKS.md §1b). Opt-in via
+# flag until the on-TPU A/B is recorded.
+_LANE_PACK = [False]
+
+
+def set_lane_pack(value: bool) -> None:
+    _LANE_PACK[0] = bool(value)
+
+
+def _ksum_packed(w, gathered_flat, rb: int, k: int, f: int, out_dtype):
+    """Packed (w * gather).sum(K): gathered_flat [rb*k, f] slot-major,
+    w [rb, k]. Returns [rb, f] in fp32 accumulation, or None when the
+    shape doesn't pack (F not a divisor of 128, or K not a multiple of
+    the fold factor)."""
+    if f >= 128 or 128 % f != 0:
+        return None
+    g = 128 // f
+    if k % g != 0 or k == 0:
+        return None
+    # [rb*k, f] -> [rb, k/g, g*f]: flat element order is unchanged, so
+    # slot j of row r lands in group j//g at lanes (j%g)*f..(j%g+1)*f.
+    gp = gathered_flat.reshape(rb, k // g, g * f)
+    wp = jnp.repeat(w.reshape(rb, k // g, g), f, axis=2)
+    acc = (wp.astype(gp.dtype) * gp).sum(axis=1, dtype=jnp.float32)
+    # fold the g sub-blocks of f lanes: a [rb, 128] pass (rows, not slots)
+    return acc.reshape(rb, g, f).sum(axis=1).astype(out_dtype)
+
+
 def _ell_recombine(plan, concat: jax.Array) -> jax.Array:
     """[concat_rows, F] bucket-order outputs -> [M, F] original order.
     Empty rows (excluded from the plan layout) read as fill-value zeros:
@@ -176,8 +208,13 @@ def spmm_ell(
     # materialized [m,K,F] relayout — measured +195 us on p2p@F=32; the
     # elementwise form fuses with the gather). fp32 accumulation even for
     # bf16 inputs (K can reach 64K on hub rows).
-    out = (w.astype(gathered.dtype)[:, :, None] * gathered).sum(
-        axis=1, dtype=jnp.float32).astype(dense.dtype)
+    out = None
+    if _LANE_PACK[0]:
+        out = _ksum_packed(w, gathered.reshape(m * k, -1), m, k,
+                           dense.shape[-1], dense.dtype)
+    if out is None:
+        out = (w.astype(gathered.dtype)[:, :, None] * gathered).sum(
+            axis=1, dtype=jnp.float32).astype(dense.dtype)
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
@@ -261,7 +298,6 @@ def spmm_bucketed_ell(
 
         def bucket_out(cols, mask, eperm, w_off, rb=rb, k=k):
             gathered = jnp.take(dense, cols.reshape(-1), axis=0)
-            gathered = gathered.reshape(rb, k, f)
             if w_slot is not None:
                 w = jax.lax.slice(w_slot, (w_off,),
                                   (w_off + rb * k,)).reshape(rb, k)
@@ -271,7 +307,12 @@ def spmm_bucketed_ell(
                     safe = jnp.maximum(eperm, 0).reshape(-1)
                     w = w * jnp.take(values, safe).reshape(rb, k).astype(
                         w.dtype)
+            if _LANE_PACK[0]:
+                packed = _ksum_packed(w, gathered, rb, k, f, dense.dtype)
+                if packed is not None:
+                    return packed
             # mul+sum, not einsum — see spmm_ell
+            gathered = gathered.reshape(rb, k, f)
             return (w.astype(gathered.dtype)[:, :, None] * gathered).sum(
                 axis=1, dtype=jnp.float32).astype(dense.dtype)
 

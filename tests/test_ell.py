@@ -242,3 +242,45 @@ def test_bucketed_ell_chunked_gather_matches():
     finally:
         kp._GATHER_BUDGET_BYTES = budget
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_lane_packed_ksum_matches_unpacked():
+    """F<128 lane-packing (fold 128/F K-slots per 128-lane group,
+    pallas_spmm._ksum_packed) == the unpacked broadcast-multiply form, on
+    both ELL paths, fwd + grads, F in {32, 64}."""
+    from dgsparse_tpu.core.planner import (build_bucketed_ell_plan,
+                                           build_ell_plan)
+    from dgsparse_tpu.kernels import pallas_spmm as kp
+    from dgsparse_tpu.ops.types import ReduceOp
+    from dgsparse_tpu.utils.testing import random_csr, spmm_oracle
+
+    rowptr, col, vals = random_csr(700, 600, avg_degree=9.0, seed=21,
+                                   skew=1.3)
+    v = jnp.asarray(vals)
+    for f in (32, 64):
+        x = jnp.asarray(np.random.default_rng(22)
+                        .standard_normal((600, f)).astype(np.float32))
+        ref = spmm_oracle(rowptr, col, vals, np.asarray(x), "sum")
+        bplan = build_bucketed_ell_plan(rowptr, col, 600)
+        eplan = build_ell_plan(rowptr, col, 600)
+        ct = jnp.asarray(np.random.default_rng(23)
+                         .standard_normal((700, f)).astype(np.float32))
+
+        def loss_b(v, d):
+            return jnp.vdot(kp.spmm_bucketed_ell(bplan, v, d,
+                                                 ReduceOp.SUM), ct)
+
+        try:
+            kp.set_lane_pack(True)
+            outs = [kp.spmm_bucketed_ell(bplan, v, x, ReduceOp.SUM),
+                    kp.spmm_ell(eplan, v, x, ReduceOp.SUM)]
+            gp = jax.grad(loss_b, argnums=(0, 1))(v, x)
+        finally:
+            kp.set_lane_pack(False)
+        gu = jax.grad(loss_b, argnums=(0, 1))(v, x)
+        for out in outs:
+            np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                       atol=1e-4)
+        for a, b in zip(gp, gu):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
