@@ -258,6 +258,16 @@ def gspmm_ell(
             contrib = combine(compute, v, gathered)
         else:
             contrib = gathered
+        g = 128 // f if (f < 128 and 128 % f == 0) else 0
+        if _LANE_PACK[0] and g and k % g == 0 and k:
+            # lane-packed mask+K-sum: see _ksum_packed
+            mp = jnp.repeat(mask.reshape(rb, k // g, g), f, axis=2)
+            acc = (contrib.reshape(rb, k // g, g * f)
+                   * mp.astype(contrib.dtype)).sum(axis=1,
+                                                   dtype=jnp.float32)
+            outs.append(acc.reshape(rb, g, f).sum(axis=1)
+                        .astype(dense.dtype))
+            continue
         contrib = contrib.reshape(rb, k, f) * mask[:, :, None].astype(
             contrib.dtype)
         outs.append(contrib.sum(axis=1, dtype=jnp.float32)
