@@ -121,7 +121,39 @@ def build_edge_tile_plan(
     row_block: int = 128,
     sort_cols: bool = True,
 ) -> EdgeTilePlan:
-    """Build the tile plan on the host (numpy)."""
+    """Build the tile plan on the host (numpy) and upload it."""
+    arrs = edge_tile_arrays_host(rowptr, col, edge_tile, row_block,
+                                 sort_cols)
+    cols, eperm, lrow, tile_rb = arrs
+    m = len(np.asarray(jax.device_get(rowptr))) - 1
+    nnz = len(col)
+    return EdgeTilePlan(
+        cols=jnp.asarray(cols),
+        eperm=jnp.asarray(eperm),
+        lrow=jnp.asarray(lrow),
+        tile_rb=jnp.asarray(tile_rb),
+        inv_eperm=jnp.asarray(_invert_eperm(eperm, nnz)),
+        num_tiles=len(tile_rb),
+        edge_tile=edge_tile,
+        row_block=row_block,
+        num_row_blocks=max(-(-m // row_block), 1),
+        num_rows=m,
+        num_cols=num_cols,
+        nnz=nnz,
+    )
+
+
+def edge_tile_arrays_host(
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    edge_tile: int = 256,
+    row_block: int = 128,
+    sort_cols: bool = True,
+) -> tuple:
+    """Host-side (numpy) ESC tile layout: (cols, eperm, lrow, tile_rb).
+    Split out from build_edge_tile_plan so callers that post-process the
+    layout (ops/spconv._finalize_plan slot composition) never round-trip
+    the arrays through the device."""
     rowptr = np.asarray(jax.device_get(rowptr))
     col = np.asarray(jax.device_get(col))
     m = len(rowptr) - 1
@@ -134,14 +166,7 @@ def build_edge_tile_plan(
         nat = native.plan_edge_tiles(rowptr, col, edge_tile, row_block,
                                      sort_cols)
         if nat is not None:
-            cols, eperm, lrow, tile_rb = nat
-            return EdgeTilePlan(
-                cols=jnp.asarray(cols), eperm=jnp.asarray(eperm),
-                lrow=jnp.asarray(lrow), tile_rb=jnp.asarray(tile_rb),
-                inv_eperm=jnp.asarray(_invert_eperm(eperm, nnz)),
-                num_tiles=len(tile_rb), edge_tile=edge_tile,
-                row_block=row_block, num_row_blocks=num_rb, num_rows=m,
-                num_cols=num_cols, nnz=nnz)
+            return tuple(np.asarray(a) for a in nat)
 
     cols_l, perm_l, lrow_l, tile_rb_l = [], [], [], []
     coo_row = np.repeat(np.arange(m, dtype=np.int32), np.diff(rowptr))
@@ -168,24 +193,9 @@ def build_edge_tile_plan(
         lrow_l.append(lr)
         tile_rb_l.append(np.full(n_tiles, rb, np.int32))
 
-    cols = np.concatenate(cols_l)
-    eperm = np.concatenate(perm_l)
-    lrow = np.concatenate(lrow_l)
-    tile_rb = np.concatenate(tile_rb_l)
-    return EdgeTilePlan(
-        cols=jnp.asarray(cols),
-        eperm=jnp.asarray(eperm),
-        lrow=jnp.asarray(lrow),
-        tile_rb=jnp.asarray(tile_rb),
-        inv_eperm=jnp.asarray(_invert_eperm(eperm, nnz)),
-        num_tiles=len(tile_rb),
-        edge_tile=edge_tile,
-        row_block=row_block,
-        num_row_blocks=num_rb,
-        num_rows=m,
-        num_cols=num_cols,
-        nnz=nnz,
-    )
+    del num_rb
+    return (np.concatenate(cols_l), np.concatenate(perm_l),
+            np.concatenate(lrow_l), np.concatenate(tile_rb_l))
 
 
 @jax.tree_util.register_pytree_node_class

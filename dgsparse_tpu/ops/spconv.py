@@ -315,33 +315,48 @@ def _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz, separate_mid,
     plan_by_out = plan_by_in = None
     fo_src = fo_widx = fi_src = fi_widx = None
     if total_pairs:
-        from dgsparse_tpu.core.planner import build_edge_tile_plan
+        from dgsparse_tpu.core.planner import (EdgeTilePlan,
+                                               _invert_eperm,
+                                               edge_tile_arrays_host)
 
         real = np.nonzero(imap_q_np >= 0)[0].astype(np.int32)
+        n_stream = len(imap_q_np)
 
         def pair_plan(ids, num_rows):
+            """Host-built ESC plan over the Q-padded pair stream; returns
+            (device EdgeTilePlan, host cols, host eperm) — all layout work
+            stays in numpy so plan construction never waits on the device
+            tunnel (a busy tunnel turned a 0.6 s LiDAR-scale rulebook into
+            minutes when these arrays round-tripped through it)."""
             order = np.argsort(ids, kind="stable")
             rowptr_p = np.zeros(num_rows + 1, np.int64)
             np.add.at(rowptr_p, ids + 1, 1)
             rowptr_p = np.cumsum(rowptr_p).astype(np.int32)
-            return build_edge_tile_plan(rowptr_p, real[order],
-                                        len(imap_q_np), sort_cols=False)
+            cols, eperm, lrow, tile_rb = edge_tile_arrays_host(
+                rowptr_p, real[order], sort_cols=False)
+            plan = EdgeTilePlan(
+                cols=jnp.asarray(cols), eperm=jnp.asarray(eperm),
+                lrow=jnp.asarray(lrow), tile_rb=jnp.asarray(tile_rb),
+                inv_eperm=jnp.asarray(_invert_eperm(eperm, len(real))),
+                num_tiles=len(tile_rb), edge_tile=256, row_block=128,
+                num_row_blocks=max(-(-num_rows // 128), 1),
+                num_rows=num_rows, num_cols=n_stream, nnz=len(real))
+            return plan, cols, eperm
 
-        plan_by_out = pair_plan(omap_q_np[real], num_out)
-        plan_by_in = pair_plan(imap_q_np[real], nnz)
+        plan_by_out, cols_o, eperm_o = pair_plan(omap_q_np[real], num_out)
+        plan_by_in, cols_i, eperm_i = pair_plan(imap_q_np[real], nnz)
 
         # Fused-kernel slot arrays: compose plan slot -> Q-stream position
         # -> (source row id, offset id), so the device step is ONE gather
         # per direction (kernels/pallas_spconv.py).
-        def slot_arrays(plan, src_ids):
-            cols = np.asarray(jax.device_get(plan.cols))
-            valid = np.asarray(jax.device_get(plan.eperm)) >= 0
+        def slot_arrays(cols, eperm, src_ids):
+            valid = eperm >= 0
             sid = np.where(valid, src_ids[cols], -1).astype(np.int32)
             swidx = np.where(valid, widx_q_np[cols], 0).astype(np.int32)
             return jnp.asarray(sid), jnp.asarray(swidx)
 
-        fo_src, fo_widx = slot_arrays(plan_by_out, imap_q_np)
-        fi_src, fi_widx = slot_arrays(plan_by_in, omap_q_np)
+        fo_src, fo_widx = slot_arrays(cols_o, eperm_o, imap_q_np)
+        fi_src, fi_widx = slot_arrays(cols_i, eperm_i, omap_q_np)
 
     return SpConvPlan(
         imap=jnp.asarray(np.concatenate(imap_q) if imap_q else
