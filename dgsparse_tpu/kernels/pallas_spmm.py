@@ -143,20 +143,28 @@ def set_lane_pack(value: bool) -> None:
     _LANE_PACK[0] = bool(value)
 
 
-def _ksum_packed(w, gathered_flat, rb: int, k: int, f: int, out_dtype):
-    """Packed (w * gather).sum(K): gathered_flat [rb*k, f] slot-major,
-    w [rb, k]. Returns [rb, f] in fp32 accumulation, or None when the
-    shape doesn't pack (F not a divisor of 128, or K not a multiple of
-    the fold factor)."""
-    if f >= 128 or 128 % f != 0:
+def _gather_ksum_packed(dense, cols, w, rb: int, k: int, out_dtype):
+    """Packed gather + (w * gather).sum(K): cols/w [rb, k]. Returns
+    [rb, f] with fp32 accumulation, or None when F doesn't pack (>= 128
+    or not a divisor of 128). K is padded up to a multiple of the fold
+    factor g = 128/F with zero-weight slots — the merged K ladder is not
+    pow2 (p2p's big bucket is k=10), so without the pad 96 % of headline
+    slots would fall back to the unpacked form. Pad slots gather row
+    cols[,-1] again (clip-mode take); w = 0 cancels them."""
+    f = dense.shape[-1]
+    if f >= 128 or 128 % f != 0 or k == 0:
         return None
     g = 128 // f
-    if k % g != 0 or k == 0:
-        return None
-    # [rb*k, f] -> [rb, k/g, g*f]: flat element order is unchanged, so
+    k2 = _round_up(k, g)
+    if k2 != k:
+        cols = jnp.pad(cols.reshape(rb, k), ((0, 0), (0, k2 - k)),
+                       mode="edge")
+        w = jnp.pad(w, ((0, 0), (0, k2 - k)))
+    gathered = jnp.take(dense, cols.reshape(-1), axis=0)
+    # [rb*k2, f] -> [rb, k2/g, g*f]: flat element order is unchanged, so
     # slot j of row r lands in group j//g at lanes (j%g)*f..(j%g+1)*f.
-    gp = gathered_flat.reshape(rb, k // g, g * f)
-    wp = jnp.repeat(w.reshape(rb, k // g, g), f, axis=2)
+    gp = gathered.reshape(rb, k2 // g, g * f)
+    wp = jnp.repeat(w.reshape(rb, k2 // g, g), f, axis=2)
     acc = (wp.astype(gp.dtype) * gp).sum(axis=1, dtype=jnp.float32)
     # fold the g sub-blocks of f lanes: a [rb, 128] pass (rows, not slots)
     return acc.reshape(rb, g, f).sum(axis=1).astype(out_dtype)
@@ -195,8 +203,6 @@ def spmm_ell(
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_ell handles SUM/MEAN only")
     m, k = plan.cols.shape
-    gathered = jnp.take(dense, plan.cols.reshape(-1), axis=0)
-    gathered = gathered.reshape(m, k, dense.shape[-1])
     if w_slot is not None:
         w = w_slot.reshape(m, k)
     else:
@@ -210,9 +216,10 @@ def spmm_ell(
     # bf16 inputs (K can reach 64K on hub rows).
     out = None
     if _LANE_PACK[0]:
-        out = _ksum_packed(w, gathered.reshape(m * k, -1), m, k,
-                           dense.shape[-1], dense.dtype)
+        out = _gather_ksum_packed(dense, plan.cols, w, m, k, dense.dtype)
     if out is None:
+        gathered = jnp.take(dense, plan.cols.reshape(-1), axis=0)
+        gathered = gathered.reshape(m, k, dense.shape[-1])
         out = (w.astype(gathered.dtype)[:, :, None] * gathered).sum(
             axis=1, dtype=jnp.float32).astype(dense.dtype)
     if reduce == ReduceOp.MEAN:
@@ -251,6 +258,34 @@ def gspmm_ell(
     for cols, mask, eperm in buckets:
         rb, k = cols.shape
         f = dense.shape[-1]
+        g = 128 // f if (f < 128 and 128 % f == 0) else 0
+        if _LANE_PACK[0] and g and k:
+            # lane-packed combine+mask+K-sum: see _gather_ksum_packed.
+            # K pads to a multiple of g; pad slots repeat the bucket's
+            # last column/edge (edge mode keeps values real so DIV etc.
+            # stay finite) and mask 0 cancels them.
+            k2 = _round_up(k, g)
+            if k2 != k:
+                cols = jnp.pad(cols.reshape(rb, k),
+                               ((0, 0), (0, k2 - k)), mode="edge")
+                mask = jnp.pad(mask.reshape(rb, k),
+                               ((0, 0), (0, k2 - k)))
+                eperm = jnp.pad(eperm.reshape(rb, k),
+                                ((0, 0), (0, k2 - k)), mode="edge")
+            gathered = jnp.take(dense, cols.reshape(-1), axis=0)
+            if values is not None:
+                safe = jnp.maximum(eperm, 0).reshape(-1)
+                v = jnp.take(values, safe).astype(gathered.dtype)
+                contrib = combine(compute, v, gathered)
+            else:
+                contrib = gathered
+            mp = jnp.repeat(mask.reshape(rb, k2 // g, g), f, axis=2)
+            acc = (contrib.reshape(rb, k2 // g, g * f)
+                   * mp.astype(contrib.dtype)).sum(axis=1,
+                                                   dtype=jnp.float32)
+            outs.append(acc.reshape(rb, g, f).sum(axis=1)
+                        .astype(dense.dtype))
+            continue
         gathered = jnp.take(dense, cols.reshape(-1), axis=0)   # [rb*k, F]
         if values is not None:
             safe = jnp.maximum(eperm, 0).reshape(-1)
@@ -258,16 +293,6 @@ def gspmm_ell(
             contrib = combine(compute, v, gathered)
         else:
             contrib = gathered
-        g = 128 // f if (f < 128 and 128 % f == 0) else 0
-        if _LANE_PACK[0] and g and k % g == 0 and k:
-            # lane-packed mask+K-sum: see _ksum_packed
-            mp = jnp.repeat(mask.reshape(rb, k // g, g), f, axis=2)
-            acc = (contrib.reshape(rb, k // g, g * f)
-                   * mp.astype(contrib.dtype)).sum(axis=1,
-                                                   dtype=jnp.float32)
-            outs.append(acc.reshape(rb, g, f).sum(axis=1)
-                        .astype(dense.dtype))
-            continue
         contrib = contrib.reshape(rb, k, f) * mask[:, :, None].astype(
             contrib.dtype)
         outs.append(contrib.sum(axis=1, dtype=jnp.float32)
@@ -307,7 +332,6 @@ def spmm_bucketed_ell(
         rb, k = cols.shape
 
         def bucket_out(cols, mask, eperm, w_off, rb=rb, k=k):
-            gathered = jnp.take(dense, cols.reshape(-1), axis=0)
             if w_slot is not None:
                 w = jax.lax.slice(w_slot, (w_off,),
                                   (w_off + rb * k,)).reshape(rb, k)
@@ -318,10 +342,12 @@ def spmm_bucketed_ell(
                     w = w * jnp.take(values, safe).reshape(rb, k).astype(
                         w.dtype)
             if _LANE_PACK[0]:
-                packed = _ksum_packed(w, gathered, rb, k, f, dense.dtype)
+                packed = _gather_ksum_packed(dense, cols, w, rb, k,
+                                             dense.dtype)
                 if packed is not None:
                     return packed
             # mul+sum, not einsum — see spmm_ell
+            gathered = jnp.take(dense, cols.reshape(-1), axis=0)
             gathered = gathered.reshape(rb, k, f)
             return (w.astype(gathered.dtype)[:, :, None] * gathered).sum(
                 axis=1, dtype=jnp.float32).astype(dense.dtype)
