@@ -198,6 +198,14 @@ def shard_pointcloud(coords: np.ndarray, num_shards: int, kernel_size=3,
     return plan, order
 
 
+def _prec(x):
+    """MXU precision for fp32 matmul operands: TPU lowers fp32 dots to a
+    SINGLE bf16 pass by default (~1e-3 rel error — failed the adjoint
+    test on real TPU); the fp32 contract is reference parity, so fp32
+    inputs use HIGHEST. bf16 inputs keep the fast single pass."""
+    return jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+
 def spconv_sharded(plan: ShardedSpConv, x: jax.Array, kernel: jax.Array,
                    mesh: Mesh, axis: str = "graph") -> jax.Array:
     """Sharded submanifold conv. x: [D*own_max, C_in] slab-block layout,
@@ -217,7 +225,8 @@ def spconv_sharded(plan: ShardedSpConv, x: jax.Array, kernel: jax.Array,
         x_local = jnp.concatenate([x_own, recv_from_left, recv_from_right],
                                   axis=0)
         out = jnp.dot(x_own, kernel[plan.mid],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                precision=_prec(x))
         # Off-center taps as a lax.scan over [k_vol-1] stacked (o2i row,
         # kernel tap): an unrolled Python loop emits k_vol copies of the
         # gather+dot graph, and under shard_map+vjp that made a 27-tap
@@ -234,7 +243,8 @@ def spconv_sharded(plan: ShardedSpConv, x: jax.Array, kernel: jax.Array,
             g = jnp.where(hit, jnp.take(x_local, jnp.maximum(idx, 0),
                                         axis=0), 0)
             return acc + jnp.dot(g, ker,
-                                 preferred_element_type=jnp.float32), None
+                                 preferred_element_type=jnp.float32,
+                precision=_prec(x)), None
 
         out, _ = jax.lax.scan(tap, out, (idxs, kers))
         return (out * mask[:, None]).astype(x.dtype)

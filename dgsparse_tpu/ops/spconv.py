@@ -40,6 +40,14 @@ _FORCE_ESC = [False]
 _FORCE_FUSED = [None]
 
 
+def _prec(x):
+    """MXU precision for fp32 matmul operands: TPU lowers fp32 dots to a
+    SINGLE bf16 pass by default (~1e-3 rel error — failed the adjoint
+    test on real TPU); the fp32 contract is reference parity, so fp32
+    inputs use HIGHEST. bf16 inputs keep the fast single pass."""
+    return jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+
 def _triple(x) -> Tuple[int, int, int]:
     if isinstance(x, (tuple, list)):
         assert len(x) == 3
@@ -466,7 +474,8 @@ def _spconv_fwd_impl(features, kernel, plan):
         out = out.astype(features.dtype)
         if plan.separate_mid:
             out = out + jnp.dot(features, kernel[mid],
-                                preferred_element_type=jnp.float32
+                                preferred_element_type=jnp.float32,
+                precision=_prec(features)
                                 ).astype(features.dtype)
         return out
     if plan.use_esc():
@@ -481,7 +490,8 @@ def _spconv_fwd_impl(features, kernel, plan):
         out = jnp.zeros((plan.num_out, c_out), features.dtype)
         if plan.separate_mid:
             out = out + jnp.dot(features, kernel[mid],
-                                preferred_element_type=jnp.float32
+                                preferred_element_type=jnp.float32,
+                precision=_prec(features)
                                 ).astype(features.dtype)
         total_q = int(plan.qkpos[-1])
         if total_q:
@@ -494,7 +504,8 @@ def _spconv_fwd_impl(features, kernel, plan):
             w_t = jnp.take(kernel, plan.widx[::q], axis=0)
             stream = jnp.einsum(
                 "tqi,tio->tqo", gathered.reshape(t, q, -1), w_t,
-                preferred_element_type=jnp.float32).astype(features.dtype)
+                preferred_element_type=jnp.float32,
+                precision=_prec(features)).astype(features.dtype)
             out = out + spmm_esc(plan.plan_by_out, None,
                                  stream.reshape(total_q, c_out)
                                  ).astype(features.dtype)
@@ -506,7 +517,8 @@ def _spconv_fwd_impl(features, kernel, plan):
         # submanifold center tap: out rows == in rows, one dense matmul
         # (reference: the cuBLAS GEMM, src/cuda/spconv_cuda.cu:44-83)
         out = out + jnp.dot(features, kernel[mid],
-                            preferred_element_type=jnp.float32
+                            preferred_element_type=jnp.float32,
+                precision=_prec(features)
                             ).astype(features.dtype)
     for kp in range(plan.k_vol):
         if plan.separate_mid and kp == mid:
@@ -514,7 +526,8 @@ def _spconv_fwd_impl(features, kernel, plan):
         if plan.knnz[kp] == 0:
             continue
         h_k = jnp.dot(features, kernel[kp],
-                      preferred_element_type=jnp.float32
+                      preferred_element_type=jnp.float32,
+                precision=_prec(features)
                       ).astype(features.dtype)
         idx = plan.o2i[kp]                      # [num_out], -1 miss
         hit = (idx >= 0)[:, None]
@@ -557,7 +570,8 @@ def _spconv_vjp_bwd(residuals, g):
         if plan.separate_mid:
             d_features = d_features + jnp.dot(
                 g, kernel[mid].T,
-                preferred_element_type=jnp.float32).astype(features.dtype)
+                preferred_element_type=jnp.float32,
+                precision=_prec(features)).astype(features.dtype)
 
         pout = plan.plan_by_out
         valid_out = (plan.fo_src >= 0)[:, None]
@@ -576,7 +590,8 @@ def _spconv_vjp_bwd(residuals, g):
         if plan.separate_mid:
             d_kernel = d_kernel.at[mid].add(jnp.dot(
                 features.T, g,
-                preferred_element_type=jnp.float32).astype(kernel.dtype))
+                preferred_element_type=jnp.float32,
+                precision=_prec(features)).astype(kernel.dtype))
         d_plan = jax.tree.map(
             lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), plan)
         return d_features, d_kernel, d_plan
@@ -591,13 +606,15 @@ def _spconv_vjp_bwd(residuals, g):
         if plan.separate_mid:
             d_features = d_features + jnp.dot(
                 g.astype(features.dtype), kernel[mid].T,
-                preferred_element_type=jnp.float32).astype(features.dtype)
+                preferred_element_type=jnp.float32,
+                precision=_prec(features)).astype(features.dtype)
         total_q = int(plan.qkpos[-1])
         d_kernel = jnp.zeros_like(kernel)
         if plan.separate_mid:
             d_kernel = d_kernel.at[mid].set(jnp.dot(
                 features.T, g.astype(features.dtype),
-                preferred_element_type=jnp.float32).astype(kernel.dtype))
+                preferred_element_type=jnp.float32,
+                precision=_prec(features)).astype(kernel.dtype))
         if total_q:
             q = plan.quant
             t = total_q // q
@@ -611,7 +628,8 @@ def _spconv_vjp_bwd(residuals, g):
             ).reshape(t, q, -1)
             # per-tile dW, summed per offset over its (contiguous) tiles
             dw_t = jnp.einsum("tqi,tqo->tio", gathered, d_stream,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                precision=_prec(features))
             for kp in range(plan.k_vol):
                 t0 = plan.qkpos[kp] // q
                 t1 = plan.qkpos[kp + 1] // q
@@ -621,7 +639,8 @@ def _spconv_vjp_bwd(residuals, g):
             w_t = jnp.take(kernel, plan.widx[::q], axis=0)
             d_gathered = jnp.einsum(
                 "tqo,tio->tqi", d_stream, w_t,
-                preferred_element_type=jnp.float32).astype(features.dtype)
+                preferred_element_type=jnp.float32,
+                precision=_prec(features)).astype(features.dtype)
             d_features = d_features + spmm_esc(
                 plan.plan_by_in, None,
                 d_gathered.reshape(total_q, -1)).astype(features.dtype)
@@ -645,10 +664,12 @@ def _spconv_vjp_bwd(residuals, g):
                             0).astype(features.dtype)
         d_features = d_features + jnp.dot(
             d_h, kernel[kp].T,
-            preferred_element_type=jnp.float32).astype(features.dtype)
+            preferred_element_type=jnp.float32,
+                precision=_prec(features)).astype(features.dtype)
         d_kernel_parts.append(jnp.dot(
             features.T, d_h,
-            preferred_element_type=jnp.float32).astype(kernel.dtype))
+            preferred_element_type=jnp.float32,
+                precision=_prec(features)).astype(kernel.dtype))
     d_kernel = jnp.stack(d_kernel_parts)        # one slice per offset
     d_plan = jax.tree.map(
         lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), plan)

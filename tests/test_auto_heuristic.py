@@ -84,6 +84,9 @@ def test_explicit_algorithm_is_respected(on_tpu):
 
 def test_cpu_auto_is_xla():
     """Without the monkeypatch (CI runs on CPU), AUTO == XLA."""
+    if jax.default_backend() == "tpu":
+        import pytest
+        pytest.skip("CPU-heuristic test; AUTO picks Pallas paths on TPU")
     sp = _tensor(2000, 1800, 8.0, 6, 0.0)
     assert _resolve(sp) == Algorithm.XLA_SEGMENT
 

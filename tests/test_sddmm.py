@@ -131,35 +131,42 @@ def test_sddmm_hybrid_matches_xla():
     from dgsparse_tpu.kernels import pallas_sddmm as ps
     from dgsparse_tpu.kernels import pallas_spmm as kp
 
+    # restore afterward: leaking interpret=True made every Pallas test
+    # after this file run interpreted on the real-TPU suite (the inner
+    # one-hot dots then lower as default-precision XLA matmuls -> bf16)
+    prev_interp = kp._INTERPRET
     kp.set_interpret(True)
-    rng = np.random.default_rng(11)
-    m = n = 1500
-    comm = 150
-    deg = np.maximum(rng.poisson(40, m), 0).astype(np.int64)
-    deg[::11] = 0
-    nnz = int(deg.sum())
-    row = np.repeat(np.arange(m, dtype=np.int64), deg)
-    c0 = (row // comm) * comm
-    col = np.where(rng.random(nnz) < 0.8,
-                   c0 + rng.integers(0, 1 << 30, nnz)
-                   % np.minimum(comm, n - c0),
-                   rng.integers(0, n, nnz)).astype(np.int32)
-    order = np.argsort(row * (n + 1) + col, kind="stable")
-    col = col[order]
-    rowptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
-    hp = build_hybrid_plan(rowptr, col, n)
-    assert hp is not None and hp.cells is not None
-    d1 = jnp.asarray(rng.standard_normal((m, 24)).astype(np.float32))
-    d2 = jnp.asarray(rng.standard_normal((n, 24)).astype(np.float32))
-    coo = jnp.asarray(np.repeat(np.arange(m, dtype=np.int32),
-                                np.diff(rowptr)))
-    got = ps.sddmm_hybrid(hp, d1, d2)
-    ref = kx.sddmm(coo, jnp.asarray(col), d1, d2)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
-    # MEAN flavor
-    degs = jnp.asarray(np.diff(rowptr).astype(np.int32))
-    got_m = ps.sddmm_hybrid(hp, d1, d2, ReduceOp.MEAN, degs, coo)
-    ref_m = kx.sddmm(coo, jnp.asarray(col), d1, d2, ReduceOp.MEAN, degs)
-    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m),
-                               rtol=1e-4, atol=1e-4)
+    try:
+        rng = np.random.default_rng(11)
+        m = n = 1500
+        comm = 150
+        deg = np.maximum(rng.poisson(40, m), 0).astype(np.int64)
+        deg[::11] = 0
+        nnz = int(deg.sum())
+        row = np.repeat(np.arange(m, dtype=np.int64), deg)
+        c0 = (row // comm) * comm
+        col = np.where(rng.random(nnz) < 0.8,
+                       c0 + rng.integers(0, 1 << 30, nnz)
+                       % np.minimum(comm, n - c0),
+                       rng.integers(0, n, nnz)).astype(np.int32)
+        order = np.argsort(row * (n + 1) + col, kind="stable")
+        col = col[order]
+        rowptr = np.concatenate([[0], np.cumsum(deg)]).astype(np.int32)
+        hp = build_hybrid_plan(rowptr, col, n)
+        assert hp is not None and hp.cells is not None
+        d1 = jnp.asarray(rng.standard_normal((m, 24)).astype(np.float32))
+        d2 = jnp.asarray(rng.standard_normal((n, 24)).astype(np.float32))
+        coo = jnp.asarray(np.repeat(np.arange(m, dtype=np.int32),
+                                    np.diff(rowptr)))
+        got = ps.sddmm_hybrid(hp, d1, d2)
+        ref = kx.sddmm(coo, jnp.asarray(col), d1, d2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        # MEAN flavor
+        degs = jnp.asarray(np.diff(rowptr).astype(np.int32))
+        got_m = ps.sddmm_hybrid(hp, d1, d2, ReduceOp.MEAN, degs, coo)
+        ref_m = kx.sddmm(coo, jnp.asarray(col), d1, d2, ReduceOp.MEAN, degs)
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        kp.set_interpret(prev_interp)

@@ -38,6 +38,8 @@ def dense_conv_oracle(coords, feats, kernel, shape, batch, stride, padding):
         window_strides=(stride,) * 3,
         padding=[(padding, padding)] * 3,
         dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+        # fp32-exact oracle on TPU too (default = one bf16 MXU pass)
+        precision=jax.lax.Precision.HIGHEST,
     )
     return np.asarray(out)
 
@@ -117,7 +119,8 @@ def test_backward_finite_and_correct():
         out = jax.lax.conv_general_dilated(
             f_d, w.reshape(3, 3, 3, c_in, c_out),
             window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
-            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+            precision=jax.lax.Precision.HIGHEST)
         return jnp.vdot(out, jnp.asarray(ct_dense))
 
     gfd, gwd = jax.grad(dense_loss, argnums=(0, 1))(

@@ -12,11 +12,12 @@ from tests.test_spconv import dense_conv_oracle, random_cloud
 
 @pytest.fixture
 def force_fused():
+    prev = kf._INTERPRET
     kf.set_interpret(True)
     S._FORCE_FUSED[0] = True
     yield
     S._FORCE_FUSED[0] = None
-    kf.set_interpret(False)
+    kf.set_interpret(prev)
 
 
 def test_fused_spconv_fwd(force_fused):
