@@ -174,12 +174,17 @@ class Storage:
         # build_plans="ell" keeps only the ELL/bucketed/hybrid forward plan
         # (~9 B/edge): the scale path for 100M-edge graphs where the ESC
         # plans (fwd+bwd, ~24 B/edge) would crowd out HBM.
+        # build_plans="esc" keeps only the ESC edge-tile plans (fwd+bwd,
+        # ~24 B/edge, ~60 % of full plan memory): the middle tier for
+        # graphs that train (need the transpose plan for backward) but
+        # can't afford the ELL/hybrid/BELL family on top.
         if build_plans and concrete and nnz > 0:
             from dgsparse_tpu.core.planner import (build_bell_plan,
                                                    build_edge_tile_plan,
                                                    build_ell_plan)
 
             ell_only = build_plans == "ell"
+            esc_only = build_plans == "esc"
             colptr_np = np.asarray(jax.device_get(self._colptr))
             row_csc_np = np.asarray(jax.device_get(self._row_csc))
             # ELL row-balance / hybrid plans FIRST (they decide whether the
@@ -188,7 +193,7 @@ class Storage:
             # hybrid for clustered structure.
             from dgsparse_tpu.core.planner import HybridPlan as _HP
 
-            if nnz >= 4096:
+            if nnz >= 4096 and not esc_only:
                 from dgsparse_tpu.core.planner import (
                     build_bucketed_ell_plan, build_hybrid_plan)
 
@@ -232,7 +237,8 @@ class Storage:
             # forward (AUTO prefers it) and the backward (transpose-hybrid
             # path), so skip the two full-graph lexsorts then.
             if nnz >= 4096 and nnz / max(num_rows, 1) >= 32 \
-                    and not ell_only and not isinstance(self._ell_fwd, _HP):
+                    and not ell_only and not esc_only \
+                    and not isinstance(self._ell_fwd, _HP):
                 bell = build_bell_plan(rowptr_np, col_np, num_cols)
                 if bell.pad_ratio() <= 1.5:
                     self._bell_fwd = bell
@@ -500,8 +506,11 @@ class SparseTensor:
         sparse_sizes: Optional[Tuple[int, int]] = None,
         build_plans: bool = True,
     ) -> "SparseTensor":
-        """build_plans=False skips Pallas plan construction (XLA paths only,
-        ~half the per-edge device memory — for billion-edge graphs)."""
+        """build_plans: True = full plan family; "ell" = ELL/hybrid forward
+        plan only (~9 B/edge, the 100M-edge scale mode); "esc" = ESC
+        edge-tile fwd+bwd plans only (~60 % of full plan memory, keeps the
+        training backward); False = no plans (XLA paths, ~half the
+        per-edge device memory — for billion-edge graphs)."""
         return cls(
             rowptr=rowptr,
             col=col,

@@ -158,3 +158,40 @@ def test_build_plans_ell_light_mode():
     out = spmm(sp, x, "sum", Algorithm.PALLAS_ROW_TILE)
     ref = spmm_oracle(rowptr, col, vals, np.asarray(x), "sum")
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_build_plans_esc_middle_tier():
+    """build_plans='esc' keeps only the ESC edge-tile fwd+bwd plans (~60 %
+    of full plan memory) — the middle tier for training workloads that
+    need the transpose plan but not the ELL/hybrid/BELL family."""
+    import numpy as np
+
+    from dgsparse_tpu import Algorithm, spmm
+    from dgsparse_tpu.utils.testing import random_csr, spmm_oracle
+
+    rowptr, col, vals = random_csr(600, 600, avg_degree=8.0, seed=23,
+                                   skew=1.2)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(600, 600),
+                               build_plans="esc")
+    st = sp.storage
+    assert st.plan() is not None and st.plan(transpose=True) is not None
+    assert st.ell_plan() is None
+    assert st.bell_plan() is None
+    rng = np.random.default_rng(24)
+    x = jnp.asarray(rng.standard_normal((600, 16)).astype(np.float32))
+    out = spmm(sp, x, "sum", Algorithm.PALLAS_EDGE_TILE)
+    ref = spmm_oracle(rowptr, col, vals, np.asarray(x), "sum")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    # backward rides the ESC transpose plan
+    g = jax.grad(lambda d: (spmm(sp, d, "sum",
+                                 Algorithm.PALLAS_EDGE_TILE)**2).sum())(x)
+    gref = jax.grad(lambda d: (spmm(sp, d, "sum",
+                                    Algorithm.XLA_SEGMENT)**2).sum())(x)
+    # atol covers fp32 accumulation-order noise on grad values of
+    # magnitude ~1e2 (measured max abs diff 1.1e-3)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref),
+                               rtol=1e-4, atol=5e-3)
+    # explicit ROW_TILE request degrades gracefully (no ELL plan)
+    out = spmm(sp, x, "sum", Algorithm.PALLAS_ROW_TILE)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
