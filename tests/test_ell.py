@@ -270,14 +270,18 @@ def test_lane_packed_ksum_matches_unpacked():
             return jnp.vdot(kp.spmm_bucketed_ell(bplan, v, d,
                                                  ReduceOp.SUM), ct)
 
+        # jit everything: eager op-by-op dispatch of the bucketed path
+        # costs ~12 s/call on CPU vs one sub-second compile
         try:
             kp.set_lane_pack(True)
-            outs = [kp.spmm_bucketed_ell(bplan, v, x, ReduceOp.SUM),
-                    kp.spmm_ell(eplan, v, x, ReduceOp.SUM)]
-            gp = jax.grad(loss_b, argnums=(0, 1))(v, x)
+            outs = [jax.jit(lambda v, x: kp.spmm_bucketed_ell(
+                        bplan, v, x, ReduceOp.SUM))(v, x),
+                    jax.jit(lambda v, x: kp.spmm_ell(
+                        eplan, v, x, ReduceOp.SUM))(v, x)]
+            gp = jax.jit(jax.grad(loss_b, argnums=(0, 1)))(v, x)
         finally:
             kp.set_lane_pack(False)
-        gu = jax.grad(loss_b, argnums=(0, 1))(v, x)
+        gu = jax.jit(jax.grad(loss_b, argnums=(0, 1)))(v, x)
         for out in outs:
             np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
                                        atol=1e-4)
