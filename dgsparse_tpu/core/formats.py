@@ -199,23 +199,29 @@ class Storage:
 
                 deg_np = np.diff(rowptr_np)
                 max_deg = int(deg_np.max()) if len(deg_np) else 0
-                if max_deg and max_deg * num_rows / nnz <= 1.5:
+                # Try the hybrid split FIRST on dense-enough graphs:
+                # community-clustered structures are usually also
+                # degree-regular, so a regular-ELL-first order captured
+                # reddit-like graphs before the hybrid was ever tried —
+                # AUTO never reached the MXU dense-cell tier (4.1x at
+                # 115M edges, BENCHMARKS.md §2). build_hybrid_plan
+                # rejects cheaply (one O(nnz) native counting pass) when
+                # < 25 % of edges live in filled cells.
+                if nnz / max(num_rows, 1) >= 16:
+                    hyb = build_hybrid_plan(rowptr_np, col_np, num_cols)
+                    if hyb is not None and hyb.dense_fraction >= 0.3:
+                        self._ell_fwd = hyb
+                if self._ell_fwd is None and max_deg \
+                        and max_deg * num_rows / nnz <= 1.5:
                     self._ell_fwd = build_ell_plan(rowptr_np, col_np,
                                                    num_cols)
-                else:
-                    # dense enough that (128x128) cells might fill: try the
-                    # hybrid split (dense cells -> BELL MXU, residue -> ELL)
-                    if nnz / max(num_rows, 1) >= 16:
-                        hyb = build_hybrid_plan(rowptr_np, col_np, num_cols)
-                        if hyb is not None and hyb.dense_fraction >= 0.3:
-                            self._ell_fwd = hyb
-                    if self._ell_fwd is None:
-                        bek = build_bucketed_ell_plan(rowptr_np, col_np,
-                                                      num_cols)
-                        # flat plan layout: many buckets are cheap (3
-                        # device arrays regardless of bucket count)
-                        if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 64:
-                            self._ell_fwd = bek
+                if self._ell_fwd is None:
+                    bek = build_bucketed_ell_plan(rowptr_np, col_np,
+                                                  num_cols)
+                    # flat plan layout: many buckets are cheap (3
+                    # device arrays regardless of bucket count)
+                    if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 64:
+                        self._ell_fwd = bek
             # sort_cols=False keeps plan slots in CSR (row-major) order so
             # one plan serves sum/mean (order-independent one-hot) AND
             # max/min (segmented scan needs contiguous row segments);
@@ -235,8 +241,13 @@ class Storage:
             # at pad 2.4 the ESC take-path still wins on v5e); gate hard.
             # A hybrid plan supersedes the full-graph BELL on both the
             # forward (AUTO prefers it) and the backward (transpose-hybrid
-            # path), so skip the two full-graph lexsorts then.
-            if nnz >= 4096 and nnz / max(num_rows, 1) >= 32 \
+            # path), so skip the two full-graph lexsorts then. Also capped
+            # at 8M edges: the two lexsorts cost ~45 s each at 30M edges
+            # BEFORE the pad gate can reject, and above the cap the hybrid
+            # was already tried (avg deg >= 32 implies >= 16) — if ITS
+            # cell classification rejected, cells don't fill and the pad
+            # gate here would reject too, after minutes of wasted sorting.
+            if 4096 <= nnz <= (1 << 23) and nnz / max(num_rows, 1) >= 32 \
                     and not ell_only and not esc_only \
                     and not isinstance(self._ell_fwd, _HP):
                 bell = build_bell_plan(rowptr_np, col_np, num_cols)

@@ -8,10 +8,11 @@ from dgsparse_tpu.dist.shard import (
     ShardedCSR,
     pad_nodes,
     shard_csr,
+    sddmm_sharded,
     spmm_sharded,
     spmm_sharded_2d,
 )
 
-__all__ = ["ShardedCSR", "shard_csr", "spmm_sharded",
+__all__ = ["ShardedCSR", "shard_csr", "spmm_sharded", "sddmm_sharded",
            "ShardedSpConv", "shard_pointcloud", "spconv_sharded",
            "spmm_sharded_2d", "spmm_feature_sharded", "pad_nodes"]

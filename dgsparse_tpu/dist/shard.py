@@ -58,10 +58,14 @@ class ShardedCSR:
     edge_tile: int
     row_block: int
     row_starts: tuple = None  # [D] first global row per shard (None = d*rps)
+    # [nnz] gather map: global CSR edge id -> position in the flattened
+    # [D*max_nnz] per-shard padded edge block (for edges_to_csr)
+    edge_map: jax.Array = None
 
     def tree_flatten(self):
         return (self.rowptr, self.col, self.values, self.local_row,
-                self.p_cols, self.p_vals, self.p_lrow, self.p_tile_rb), (
+                self.p_cols, self.p_vals, self.p_lrow, self.p_tile_rb,
+                self.edge_map), (
             self.num_shards, self.rows_per_shard, self.num_rows,
             self.num_cols, self.num_tiles, self.edge_tile, self.row_block,
             self.row_starts)
@@ -96,9 +100,15 @@ class ShardedCSR:
             [y[d * rps: d * rps + (b[d + 1] - b[d])]
              for d in range(self.num_shards)], axis=0)
 
+    def edges_to_csr(self, e_block: jax.Array) -> jax.Array:
+        """[D, max_nnz] (or flat [D*max_nnz]) per-shard padded edge values
+        -> [nnz] in global CSR edge order (one gather, jittable)."""
+        return jnp.take(e_block.reshape(-1), self.edge_map, axis=0)
+
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        *main, edge_map = children
+        return cls(*main, *aux, edge_map=edge_map)
 
 
 def shard_csr(sp: SparseTensor, num_shards: int,
@@ -203,9 +213,13 @@ def shard_csr(sp: SparseTensor, num_shards: int,
         p_lrow[d, :k] = np.asarray(p.lrow)
         p_trb[d, :p.num_tiles] = np.asarray(p.tile_rb)
         p_trb[d, p.num_tiles:] = np.asarray(p.tile_rb)[-1]
+    edge_map = np.concatenate(
+        [d * max_nnz + np.arange(nnz_per[d], dtype=np.int64)
+         for d in range(num_shards)]) if total_nnz else np.zeros(0, np.int64)
     return ShardedCSR(
         rowptr=jnp.asarray(rp_l), col=jnp.asarray(col_l),
         values=jnp.asarray(val_l), local_row=jnp.asarray(lrow_l),
+        edge_map=jnp.asarray(edge_map.astype(np.int32)),
         p_cols=jnp.asarray(p_cols), p_vals=jnp.asarray(p_vals),
         p_lrow=jnp.asarray(p_lrow.reshape(num_shards, t_max, 1, edge_tile)),
         p_tile_rb=jnp.asarray(p_trb),
@@ -269,6 +283,56 @@ def spmm_sharded(
 
 # test hook: force the Pallas local path off-TPU (interpret mode)
 _FORCE_PALLAS = [False]
+
+
+def sddmm_sharded(
+    sharded: ShardedCSR,
+    x: jax.Array,                 # [D*rps, F] block-layout rows (lhs)
+    y: jax.Array,                 # node-sharded cols (rhs), see below
+    mesh: Mesh,
+    axis: str = "graph",
+    reduce: str = "sum",
+) -> jax.Array:
+    """Row-sharded SDDMM: e[k] = <x[row(k)], y[col(k)]> over the sharded
+    structure (the SpMM backward's d_values, GAT scores, the reference's
+    src/sddmm/sddmm.cu role in the distributed setting).
+
+    x is in block layout (`sharded.to_block_layout`). y is sharded by the
+    same axis: [num_cols_padded, F] with global column ids for
+    balance='rows' (pad_nodes), or the SAME [D*rps, F] block layout as x
+    for balance='edges' (columns were block-remapped at shard time).
+
+    Forward: all_gather(y) over ICI + two local row gathers + a lane
+    reduce — no output collective (each shard owns its row block's
+    edges). Backward via autodiff: d_x is a local scatter, d_y rides the
+    all_gather transpose (psum_scatter).
+
+    Returns [D, max_nnz] per-shard padded edge values (padding slots 0);
+    `sharded.edges_to_csr` recovers global CSR edge order.
+    """
+    if reduce not in ("sum", "mean"):
+        raise ValueError("sharded sddmm supports sum/mean")
+    max_nnz = sharded.col.shape[1]
+
+    def local(rowptr, col, lrow, x_shard, y_shard):
+        yg = jax.lax.all_gather(y_shard, axis, tiled=True)
+        xr = jnp.take(x_shard, lrow[0], axis=0)       # [max_nnz, F]
+        yc = jnp.take(yg, col[0], axis=0)
+        e = (xr * yc).sum(-1)
+        if reduce == "mean":
+            deg = rowptr[0, 1:] - rowptr[0, :-1]
+            e = e / jnp.maximum(jnp.take(deg, lrow[0]), 1).astype(e.dtype)
+        valid = jnp.arange(max_nnz) < rowptr[0, -1]
+        return jnp.where(valid, e, jnp.zeros((), e.dtype))
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * 4 + (P(axis),),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    out = fn(sharded.rowptr, sharded.col, sharded.local_row, x, y)
+    return out.reshape(sharded.num_shards, max_nnz)
 
 
 def spmm_feature_sharded(
