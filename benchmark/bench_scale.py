@@ -385,6 +385,28 @@ def _row(name, alg, nnz, m, n, feat, dt):
     return r
 
 
+def bench_auto_public(name, rowptr, col, feat):
+    """The user path: SparseTensor.from_csr + spmm(AUTO) — verifies the
+    public API reaches the hybrid MXU tier at scale (the round-3 AUTO
+    selection fix). The sparse tensor is a TIMED ARGUMENT, not a closure
+    constant (a 1.3+ GB plan embedded as HLO literals blows the remote
+    compiler's request limit)."""
+    from dgsparse_tpu import SparseTensor, spmm
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
+
+    m, nnz = len(rowptr) - 1, len(col)
+    n = m
+    t0 = time.perf_counter()
+    sp = SparseTensor.from_csr(rowptr, col, None, sparse_sizes=(m, n))
+    log(f"[{name}] from_csr {time.perf_counter()-t0:.1f}s "
+        f"ell_plan={type(sp.storage.ell_plan()).__name__}")
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((n, feat)).astype(np.float32))
+    dt = time_pytree_2pt(lambda x, s: spmm(s, x, "sum"), (b, sp),
+                         iters=(3, 9), repeats=3)
+    return [_row(name, "AUTO(public)", nnz, m, n, feat, dt)]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -392,7 +414,7 @@ def main():
     ap.add_argument("--skip-arxiv", action="store_true")
     ap.add_argument("--only", default=None,
                     help="run one section: hybrid | sddmm-reddit | "
-                         "lean | sddmm-arxiv | attention")
+                         "lean | sddmm-arxiv | attention | auto-reddit")
     ap.add_argument("--out", default="benchmark/results_scale.json")
     args = ap.parse_args()
     results = []
@@ -422,9 +444,13 @@ def main():
         section(bench_sddmm, "arxiv-scale", rowptr, col, (64, 128))
 
     if not args.quick:
-        if only in (None, "hybrid", "sddmm-reddit", "attention"):
+        if only in (None, "hybrid", "sddmm-reddit", "attention",
+                    "auto-reddit"):
             # --- reddit scale, clustered (hybrid BELL+ELL target) ---
             rowptr, col = clustered_graph(232965, 232965, 492, seed=4)
+            if only == "auto-reddit":
+                section(bench_auto_public, "reddit-clustered", rowptr,
+                        col, 64)
             if only in (None, "hybrid"):
                 section(bench_reddit_hybrid, "reddit-clustered", rowptr,
                         col, 64)
