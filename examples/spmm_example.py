@@ -37,6 +37,12 @@ def main():
     nnz = len(col)
     print(f"A: {m}x{n}, nnz={nnz}; B: {n}x{feat}; "
           f"backend={jax.default_backend()}")
+    if jax.default_backend() != "tpu":
+        # compiled Pallas is TPU-only; interpret mode keeps the example
+        # runnable (slowly) on any backend
+        from dgsparse_tpu.kernels import pallas_spmm
+
+        pallas_spmm.set_interpret(True)
 
     sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
                                jnp.asarray(vals), sparse_sizes=(m, n))
@@ -44,6 +50,8 @@ def main():
                     .standard_normal((n, feat)).astype(np.float32))
     ref = spmm_oracle(rowptr, col, vals, np.asarray(b), "sum")
 
+    on_tpu = jax.default_backend() == "tpu"
+    warmup, iters = (10, 100) if on_tpu else (1, 3)
     algos = [Algorithm.XLA_SEGMENT, Algorithm.PALLAS_EDGE_TILE,
              Algorithm.PALLAS_ROW_TILE, Algorithm.PALLAS_BELL,
              Algorithm.AUTO]
@@ -51,7 +59,7 @@ def main():
         fn = jax.jit(lambda x: spmm(sp, x, "sum", alg))
         out = np.asarray(jax.device_get(fn(b)))
         ok = np.allclose(out, ref, rtol=1e-3, atol=1e-3)
-        t = time_fn(fn, b, warmup=10, iters=100)
+        t = time_fn(fn, b, warmup=warmup, iters=iters)
         print(f"  alg={alg.name:18s} check={'PASS' if ok else 'FAIL'} "
               f"time={t * 1e6:9.1f} us  {spmm_gflops(nnz, feat, t):8.2f} "
               f"GFLOP/s")
