@@ -94,16 +94,51 @@ def spmm_forward(
     Reference: csrspmm_seqreduce_rowbalance_kernel
     (include/cuda/spmm_cuda.cuh:10-55).
 
-    SUM/MEAN on very large graphs chunk the edge axis so the [nnz, F]
+    On very large graphs the edge axis is chunked so the [nnz, F]
     contribution buffer never materializes (115M edges at F=64 is 29 GB
     — the un-chunked form cannot allocate on a 16 GB chip; the lean-mode
-    analog of the reference's grid-strided launches). Each chunk's ids
-    stay sorted, partials add. MAX/MIN keep the one-shot form (the
-    winning-edge residual needs global compare).
+    analog of the reference's grid-strided launches). SUM/MEAN chunks
+    add partials; MAX/MIN merge chunk extrema with exact first-winner
+    tie semantics (strict improvement takes the chunk's winner, an exact
+    tie keeps the smaller edge id — identical to the one-shot form).
     """
     nnz = col.shape[0]
     f = dense.shape[-1]
     per = max(_SPMM_CHUNK_BUDGET // (4 * max(f, 1)), 1)
+    if reduce in (ReduceOp.MAX, ReduceOp.MIN) and nnz > per:
+        is_max = reduce == ReduceOp.MAX
+        ident = -jnp.inf if is_max else jnp.inf
+        out = jnp.full((num_rows, f), ident, dense.dtype)
+        arg = jnp.full((num_rows, f), jnp.int32(nnz), jnp.int32)
+        for e0 in range(0, nnz, per):
+            e1 = min(e0 + per, nnz)
+            c = jax.lax.slice(col, (e0,), (e1,))
+            r = jax.lax.slice(coo_row, (e0,), (e1,))
+            contrib = jnp.take(dense, c, axis=0)
+            if values is not None:
+                v = jax.lax.slice(values, (e0,), (e1,))
+                contrib = contrib * v[:, None].astype(contrib.dtype)
+            if is_max:
+                part = jax.ops.segment_max(contrib, r,
+                                           num_segments=num_rows,
+                                           indices_are_sorted=True)
+            else:
+                part = jax.ops.segment_min(contrib, r,
+                                           num_segments=num_rows,
+                                           indices_are_sorted=True)
+            is_win = contrib == part[r]
+            eids = jnp.arange(e0, e1, dtype=jnp.int32)[:, None]
+            argc = jax.ops.segment_min(
+                jnp.where(is_win, eids, jnp.int32(nnz)), r,
+                num_segments=num_rows, indices_are_sorted=True)
+            better = part > out if is_max else part < out
+            eq = part == out
+            arg = jnp.where(better, argc,
+                            jnp.where(eq, jnp.minimum(arg, argc), arg))
+            out = jnp.maximum(out, part) if is_max \
+                else jnp.minimum(out, part)
+        out = jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
+        return out, arg
     if reduce in (ReduceOp.SUM, ReduceOp.MEAN) and nnz > per:
         out = jnp.zeros((num_rows, f), jnp.float32)
         for e0 in range(0, nnz, per):

@@ -367,6 +367,40 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
                                    axis=0)
         else:
             # XLA forward → `arg_edge` holds winning EDGE ids per element.
+            from dgsparse_tpu.kernels import xla as _kx
+
+            f_g = g32.shape[-1]
+            per = max(_kx._SPMM_CHUNK_BUDGET // (4 * max(f_g, 1)), 1)
+            if nnz > per:
+                # edge-chunked mirror of the chunked forward: the [nnz,F]
+                # winner masks cannot materialize at 100M+ edges. d_dense
+                # accumulates per chunk (unsorted col segment — correct,
+                # and this path only exists for storages with no plans).
+                dd32 = jnp.zeros((dense.shape[0], f_g), jnp.float32)
+                dv_parts = []
+                for e0 in range(0, nnz, per):
+                    e1 = min(e0 + per, nnz)
+                    r = jax.lax.slice(coo_row, (e0,), (e1,))
+                    c = jax.lax.slice(col, (e0,), (e1,))
+                    arg_rows = jnp.take(arg_edge, r, axis=0)
+                    eids = jnp.arange(e0, e1,
+                                      dtype=arg_rows.dtype)[:, None]
+                    win = arg_rows == eids
+                    g_rows = jnp.where(win, jnp.take(g32, r, axis=0), 0)
+                    if has_value:
+                        dv_parts.append(jnp.sum(
+                            g_rows * jnp.take(dense, c,
+                                              axis=0).astype(jnp.float32),
+                            axis=-1).astype(values.dtype))
+                        v = jax.lax.slice(values, (e0,), (e1,))
+                        g_rows = g_rows * v[:, None].astype(jnp.float32)
+                    dd32 = dd32 + jax.ops.segment_sum(
+                        g_rows, c, num_segments=dense.shape[0])
+                d_values = (jnp.concatenate(dv_parts) if has_value
+                            else jnp.zeros_like(values))
+                d_dense = dd32.astype(dense.dtype)
+                d_idx = jax.tree.map(_int_zero, idx)
+                return d_idx, d_values, d_dense
             arg_rows = jnp.take(arg_edge, coo_row, axis=0)   # [nnz, F]
             eids = jnp.arange(nnz, dtype=arg_rows.dtype)[:, None]
             win = arg_rows == eids                           # [nnz, F]

@@ -164,3 +164,65 @@ def test_xla_spmm_edge_chunked_matches_unchunked(monkeypatch):
         np.asarray(ref) / np.maximum(
             np.bincount(row, minlength=m), 1)[:, None],
         rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_xla_spmm_maxmin_chunked_matches_unchunked(monkeypatch, reduce):
+    """Chunked MAX/MIN: extrema and FIRST-winner arg residuals must be
+    bit-identical to the one-shot form (the reddit-scale safety net for
+    storages whose only plan is the hybrid — ESC is skipped there and
+    maxmin falls to this path)."""
+    from dgsparse_tpu.kernels import xla as kx
+    from dgsparse_tpu.ops.types import ReduceOp
+
+    rng = np.random.default_rng(7)
+    m = n = 250
+    nnz = 3500
+    row = np.sort(rng.integers(0, m, nnz)).astype(np.int32)
+    # duplicate (row, col) pairs so exact-tie winners are exercised
+    col = rng.integers(0, n, nnz).astype(np.int32)
+    col[1::7] = col[::7][: len(col[1::7])]
+    row[1::7] = row[::7][: len(row[1::7])]
+    order = np.argsort(row, kind="stable")
+    row, col = row[order], col[order]
+    vals = np.ones(nnz, np.float32)  # ties guaranteed on duplicates
+    dense = rng.standard_normal((n, 16)).astype(np.float32)
+    rop = ReduceOp.MAX if reduce == "max" else ReduceOp.MIN
+    ref, ref_arg = kx.spmm_forward(jnp.asarray(row), jnp.asarray(col),
+                                   jnp.asarray(vals), jnp.asarray(dense),
+                                   m, rop)
+    monkeypatch.setattr(kx, "_SPMM_CHUNK_BUDGET", 1024)
+    out, arg = kx.spmm_forward(jnp.asarray(row), jnp.asarray(col),
+                               jnp.asarray(vals), jnp.asarray(dense),
+                               m, rop)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(arg), np.asarray(ref_arg))
+
+
+def test_xla_spmm_maxmin_chunked_backward_matches(monkeypatch):
+    """Edge-chunked maxmin BACKWARD (winner masks chunked like the
+    forward) == one-shot grads, d_values and d_dense."""
+    from dgsparse_tpu import Algorithm, spmm
+    from dgsparse_tpu.kernels import xla as kx
+    from dgsparse_tpu.utils.testing import random_csr
+
+    rowptr, col, vals = random_csr(220, 200, avg_degree=7.0, seed=31)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(220, 200),
+                               build_plans=False)
+    rng = np.random.default_rng(32)
+    x = jnp.asarray(rng.standard_normal((200, 8)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((220, 8)).astype(np.float32))
+    vj = jnp.asarray(vals)
+
+    def loss(v, d):
+        return jnp.vdot(
+            spmm(sp.set_values(v), d, "max", Algorithm.XLA_SEGMENT), ct)
+
+    gv_ref, gd_ref = jax.grad(loss, argnums=(0, 1))(vj, x)
+    monkeypatch.setattr(kx, "_SPMM_CHUNK_BUDGET", 1024)
+    gv, gd = jax.grad(loss, argnums=(0, 1))(vj, x)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_ref),
+                               rtol=1e-5, atol=1e-5)
