@@ -134,13 +134,22 @@ def _round_up(x: int, m: int) -> int:
 # of one row into a single 128-lane group so the w-multiply + K-sum passes
 # run on full vector lanes ([slots, F<128] buffers pad the minor dim to
 # 128 lanes on TPU, taxing every elementwise pass by 128/F — measured
-# ~360 us of the 772 us p2p F=32 headline, BENCHMARKS.md §1b). Opt-in via
-# flag until the on-TPU A/B is recorded.
+# ~360 us of the 772 us p2p F=32 headline, BENCHMARKS.md §1b).
+# True/False force; None = auto (on for compiled TPU kernels, off in
+# interpret mode — flip the default to [None] once the on-TPU A/B
+# record lands).
 _LANE_PACK = [False]
 
 
-def set_lane_pack(value: bool) -> None:
-    _LANE_PACK[0] = bool(value)
+def set_lane_pack(value) -> None:
+    _LANE_PACK[0] = value
+
+
+def _lane_pack_on() -> bool:
+    v = _LANE_PACK[0]
+    if v is None:
+        return jax.default_backend() == "tpu" and not _INTERPRET
+    return bool(v)
 
 
 def _gather_ksum_packed(dense, cols, w, rb: int, k: int, out_dtype):
@@ -215,7 +224,7 @@ def spmm_ell(
     # elementwise form fuses with the gather). fp32 accumulation even for
     # bf16 inputs (K can reach 64K on hub rows).
     out = None
-    if _LANE_PACK[0]:
+    if _lane_pack_on():
         out = _gather_ksum_packed(dense, plan.cols, w, m, k, dense.dtype)
     if out is None:
         gathered = jnp.take(dense, plan.cols.reshape(-1), axis=0)
@@ -259,7 +268,7 @@ def gspmm_ell(
         rb, k = cols.shape
         f = dense.shape[-1]
         g = 128 // f if (f < 128 and 128 % f == 0) else 0
-        if _LANE_PACK[0] and g and k:
+        if _lane_pack_on() and g and k:
             # lane-packed combine+mask+K-sum: see _gather_ksum_packed.
             # K pads to a multiple of g; pad slots repeat the bucket's
             # last column/edge (edge mode keeps values real so DIV etc.
@@ -341,7 +350,7 @@ def spmm_bucketed_ell(
                     safe = jnp.maximum(eperm, 0).reshape(-1)
                     w = w * jnp.take(values, safe).reshape(rb, k).astype(
                         w.dtype)
-            if _LANE_PACK[0]:
+            if _lane_pack_on():
                 packed = _gather_ksum_packed(dense, cols, w, rb, k,
                                              dense.dtype)
                 if packed is not None:
