@@ -176,3 +176,45 @@ def test_gspmm_copy_u_max_ell():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ge), np.asarray(gx),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_gspmm_on_hybrid_storage_falls_back_exact():
+    """A clustered graph now AUTO-selects the HybridPlan (round-3
+    selection fix); the generic semiring grid must stay exact through
+    its ESC/XLA fallback, and spmm max/min through the ESC path."""
+    from dgsparse_tpu import Algorithm, spmm
+    from dgsparse_tpu.core.planner import HybridPlan
+    from dgsparse_tpu.utils.testing import spmm_oracle
+
+    rng = np.random.default_rng(41)
+    m = n = 1024
+    comm = 128
+    deg = np.maximum(rng.poisson(48, m), 1).astype(np.int64)
+    nnz = int(deg.sum())
+    row = np.repeat(np.arange(m, dtype=np.int64), deg)
+    c0 = (row // comm) * comm
+    col = np.where(rng.random(nnz) < 0.9,
+                   c0 + rng.integers(0, comm, nnz),
+                   rng.integers(0, n, nnz)).astype(np.int32)
+    order = np.argsort(row * (n + 1) + col, kind="stable")
+    col = col[order]
+    rowptr = np.zeros(m + 1, np.int64)
+    rowptr[1:] = np.cumsum(deg)
+    vals = np.abs(rng.standard_normal(nnz)).astype(np.float32) + 0.1
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr.astype(np.int32)),
+                               jnp.asarray(col), jnp.asarray(vals),
+                               sparse_sizes=(m, n))
+    assert isinstance(sp.storage.ell_plan(), HybridPlan)
+
+    u = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    e = jnp.asarray(vals)
+    for op, reduce in (("mul", "sum"), ("sub", "sum"), ("mul", "max")):
+        out = gspmm(sp, u, reduce, op)
+        ref = gspmm_oracle(rowptr, col, np.asarray(e), np.asarray(u),
+                           reduce, op)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                   atol=1e-4)
+    # spmm max on the hybrid storage rides the ESC plan (< 16M edges)
+    out = spmm(sp, u, "max")
+    ref = spmm_oracle(rowptr, col, vals, np.asarray(u), "max")
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
