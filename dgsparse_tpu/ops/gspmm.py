@@ -24,7 +24,8 @@ import numpy as np
 
 from dgsparse_tpu.core.formats import SparseTensor
 from dgsparse_tpu.kernels import xla as kx
-from dgsparse_tpu.ops.types import ComputeOp, ReduceOp, as_compute, as_reduce
+from dgsparse_tpu.ops.types import (Algorithm, ComputeOp, ReduceOp,
+                                    as_compute, as_reduce)
 
 _FLOAT0 = jax.dtypes.float0
 
@@ -209,6 +210,47 @@ def _gspmm_bwd(reduce, compute, has_value, residuals, g):
 _gspmm.defvjp(_gspmm_fwd, _gspmm_bwd)
 
 
+def _hybrid_sum_mean(sparse: SparseTensor, dense: jax.Array,
+                     reduce: ReduceOp, compute: ComputeOp) -> jax.Array:
+    """Tier-fast gspmm for SUM/MEAN on a HybridPlan storage: MUL/DIV run
+    as values-weighted SpMM over the 3-tier kernels (dense cells on the
+    MXU, residue gathered once); ADD/SUB decompose exactly —
+    Σ(u[c] ± e) = Σ u[c] ± Σ e — into an unweighted SpMM plus an O(nnz)
+    1-D row reduction of the edge values (no [nnz, F] work at all).
+    Gradients compose from the SpMM custom_vjp + elementwise autodiff."""
+    from dgsparse_tpu.ops import spmm as smod
+
+    st = sparse.storage
+
+    def run(vals, has_value, vslot):
+        idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
+               st.csr2csc(), st.plan(), st.plan(transpose=True),
+               st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan(),
+               st.csc_col(), vslot, st.mm_comp())
+        return smod._spmm(reduce, Algorithm.AUTO, has_value, idx, vals,
+                          dense)
+
+    values = sparse.values_or_ones()
+    cached = (not sparse.has_value) or values is st.values()
+    if compute == ComputeOp.MUL or not sparse.has_value:
+        return run(values, sparse.has_value,
+                   st.vslot() if cached else None)
+    if compute == ComputeOp.DIV:
+        return run(1.0 / values, True, None)
+    # ADD / SUB: unweighted SpMM of u ± row-reduced e (broadcast over F)
+    base = run(jnp.ones_like(values), False,
+               st.vslot() if not sparse.has_value else None)
+    rowptr = st.rowptr()
+    e_row = jax.ops.segment_sum(values, st.coo_row(),
+                                num_segments=rowptr.shape[0] - 1,
+                                indices_are_sorted=True)
+    if reduce == ReduceOp.MEAN:
+        deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1)
+        e_row = e_row / deg.astype(e_row.dtype)
+    e_row = e_row.astype(base.dtype)[:, None]
+    return base + e_row if compute == ComputeOp.ADD else base - e_row
+
+
 def gspmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
           compute="mul") -> jax.Array:
     """Semiring SpMM over a SparseTensor. compute is ignored (copy_u) when
@@ -222,6 +264,11 @@ def gspmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     metrics.record("gspmm", reduce=reduce.value, compute=compute.value,
                    nnz=sparse.nnz, feat=dense.shape[-1])
     st = sparse.storage
+    from dgsparse_tpu.core.planner import HybridPlan
+
+    if isinstance(st.ell_plan(), HybridPlan) \
+            and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+        return _hybrid_sum_mean(sparse, dense, reduce, compute)
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True), st.ell_plan(),
            st.csc_col())

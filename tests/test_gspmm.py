@@ -208,12 +208,35 @@ def test_gspmm_on_hybrid_storage_falls_back_exact():
 
     u = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
     e = jnp.asarray(vals)
-    for op, reduce in (("mul", "sum"), ("sub", "sum"), ("mul", "max")):
+    # SUM/MEAN take the tier-fast hybrid decomposition; MAX falls back
+    for op, reduce in (("mul", "sum"), ("sub", "sum"), ("add", "mean"),
+                       ("div", "sum"), ("mul", "max")):
         out = gspmm(sp, u, reduce, op)
         ref = gspmm_oracle(rowptr, col, np.asarray(e), np.asarray(u),
                            reduce, op)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
-                                   atol=1e-4)
+                                   atol=2e-4)
+    # grads of the decomposition == pure-XLA autodiff oracle
+    from dgsparse_tpu.kernels import xla as kx2
+    from dgsparse_tpu.ops.types import ComputeOp, ReduceOp
+
+    coo_row = np.repeat(np.arange(m), deg).astype(np.int32)
+    ct = jnp.asarray(rng.standard_normal((m, 8)).astype(np.float32))
+
+    def loss_hy(v, d):
+        return jnp.vdot(gspmm(sp.set_values(v), d, "sum", "sub"), ct)
+
+    def loss_xla(v, d):
+        out, _ = kx2.gspmm_forward(jnp.asarray(coo_row), jnp.asarray(col),
+                                   v, d, m, ReduceOp.SUM, ComputeOp.SUB)
+        return jnp.vdot(out, ct)
+
+    gv, gd = jax.jit(jax.grad(loss_hy, argnums=(0, 1)))(e, u)
+    gv_r, gd_r = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(e, u)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_r),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_r),
+                               rtol=1e-4, atol=2e-4)
     # spmm max on the hybrid storage rides the ESC plan (< 16M edges)
     out = spmm(sp, u, "max")
     ref = spmm_oracle(rowptr, col, vals, np.asarray(u), "max")
