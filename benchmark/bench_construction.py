@@ -46,8 +46,15 @@ def main():
             sp = SparseTensor.from_csr(np.asarray(rowptr), np.asarray(col),
                                        None, sparse_sizes=(m, m),
                                        build_plans=mode)
-            # materialize: block on the last device array of the storage
-            jax.device_get(sp.storage.col()[-1])
+            # materialize: block on EVERY device array the construction
+            # produced (plans included — on an async backend the plan
+            # transfers can still be in flight when col lands)
+            st = sp.storage
+            leaves = jax.tree.leaves((
+                st.col(), st.colptr(), st.plan(), st.plan(transpose=True),
+                st.ell_plan(), st.bell_plan(), st.vslot()))
+            jax.block_until_ready(
+                [x for x in leaves if isinstance(x, jax.Array)])
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
             del sp

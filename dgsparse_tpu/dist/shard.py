@@ -216,6 +216,16 @@ def shard_csr(sp: SparseTensor, num_shards: int,
     edge_map = np.concatenate(
         [d * max_nnz + np.arange(nnz_per[d], dtype=np.int64)
          for d in range(num_shards)]) if total_nnz else np.zeros(0, np.int64)
+    if num_shards * max_nnz >= (1 << 31):
+        # int32 flat-index ceiling for edges_to_csr (the framework is
+        # int32 throughout and x64 is disabled): a skewed balance='rows'
+        # split pads every shard to the straggler, so D*max_nnz can
+        # exceed 2^31 long before the edge count does. Fail loudly
+        # instead of wrapping the gather map.
+        raise ValueError(
+            f"num_shards * max_nnz = {num_shards * max_nnz} exceeds the "
+            f"int32 edge-block index range; use balance='edges' (max_nnz "
+            f"~ nnz/D) or fewer shards")
     return ShardedCSR(
         rowptr=jnp.asarray(rp_l), col=jnp.asarray(col_l),
         values=jnp.asarray(val_l), local_row=jnp.asarray(lrow_l),

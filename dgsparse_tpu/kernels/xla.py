@@ -104,7 +104,7 @@ def spmm_forward(
     """
     nnz = col.shape[0]
     f = dense.shape[-1]
-    per = max(_SPMM_CHUNK_BUDGET // (4 * max(f, 1)), 1)
+    per = spmm_chunk_edges(f)
     if reduce in (ReduceOp.MAX, ReduceOp.MIN) and nnz > per:
         is_max = reduce == ReduceOp.MAX
         ident = -jnp.inf if is_max else jnp.inf
@@ -216,6 +216,13 @@ def _repeat_wins(rowptr, nnz: int) -> bool:
 _SDDMM_CHUNK_BUDGET = 512 << 20
 # Same budget for the XLA SpMM's [nnz, F] contribution buffer.
 _SPMM_CHUNK_BUDGET = 512 << 20
+
+
+def spmm_chunk_edges(f: int) -> int:
+    """Edges per chunk for the [nnz, F] fp32 buffers of the XLA SpMM
+    forward AND its maxmin backward — one formula so the two sides can
+    never disagree about when chunking engages."""
+    return max(_SPMM_CHUNK_BUDGET // (4 * max(f, 1)), 1)
 
 
 def sddmm_chunked(

@@ -369,14 +369,15 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             # XLA forward → `arg_edge` holds winning EDGE ids per element.
             from dgsparse_tpu.kernels import xla as _kx
 
-            f_g = g32.shape[-1]
-            per = max(_kx._SPMM_CHUNK_BUDGET // (4 * max(f_g, 1)), 1)
+            per = _kx.spmm_chunk_edges(g32.shape[-1])
             if nnz > per:
                 # edge-chunked mirror of the chunked forward: the [nnz,F]
                 # winner masks cannot materialize at 100M+ edges. d_dense
-                # accumulates per chunk (unsorted col segment — correct,
-                # and this path only exists for storages with no plans).
-                dd32 = jnp.zeros((dense.shape[0], f_g), jnp.float32)
+                # accumulates per chunk (unsorted col segment — correct;
+                # reached for no-plan storages, F > 2048, and ESC plans
+                # past the 2^24 f32-slot-id exactness bound).
+                dd32 = jnp.zeros((dense.shape[0], g32.shape[-1]),
+                                 jnp.float32)
                 dv_parts = []
                 for e0 in range(0, nnz, per):
                     e1 = min(e0 + per, nnz)
