@@ -278,6 +278,17 @@ class Storage:
         """bwd-plan slot -> fwd ELL flat slot (None when unavailable)."""
         return getattr(self, "_mm_comp", None)
 
+    def ones_vslot(self):
+        """Memoized ones-value vslot (the has_value=False cache) for
+        VALUED hybrid storages: gspmm ADD/SUB decompose into an
+        UNWEIGHTED SpMM whose dense-cell tier would otherwise
+        re-materialize its [ncells,R,C] blocks on every call."""
+        v = getattr(self, "_ones_vslot", None)
+        if v is None:
+            v = self._build_vslot(None)
+            self._ones_vslot = v if v is not None else False
+        return v or None
+
     def _host_perm(self, name: str, arr) -> np.ndarray:
         """Memoized host copy of a static per-structure permutation."""
         cache = getattr(self, "_host_perm_cache", None)

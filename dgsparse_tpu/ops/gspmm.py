@@ -239,7 +239,7 @@ def _hybrid_sum_mean(sparse: SparseTensor, dense: jax.Array,
         return run(1.0 / values, True, None)
     # ADD / SUB: unweighted SpMM of u ± row-reduced e (broadcast over F)
     base = run(jnp.ones_like(values), False,
-               st.vslot() if not sparse.has_value else None)
+               st.vslot() if not sparse.has_value else st.ones_vslot())
     rowptr = st.rowptr()
     e_row = jax.ops.segment_sum(values, st.coo_row(),
                                 num_segments=rowptr.shape[0] - 1,
