@@ -135,20 +135,24 @@ def _round_up(x: int, m: int) -> int:
 # run on full vector lanes ([slots, F<128] buffers pad the minor dim to
 # 128 lanes on TPU, taxing every elementwise pass by 128/F — measured
 # ~360 us of the 772 us p2p F=32 headline, BENCHMARKS.md §1b).
-# True/False force; None = auto (on for compiled TPU kernels, off in
-# interpret mode — flip the default to [None] once the on-TPU A/B
-# record lands).
-_LANE_PACK = [False]
+# True/False force; None = auto: compiled TPU AND fold factor g >= 4.
+# On-TPU A/B (benchmark/probe_lanepack2.py, 2026-08-18 session): F=32
+# packed 553 us vs 702 unpacked (1.27x, 17.1 GF/s headline); F=64 (g=2)
+# packed LOSES (788 vs 696) — the relayout outweighs a 2x lane fold.
+_LANE_PACK = [None]
 
 
 def set_lane_pack(value) -> None:
     _LANE_PACK[0] = value
 
 
-def _lane_pack_on() -> bool:
+def _lane_pack_on(f: int) -> bool:
     v = _LANE_PACK[0]
+    if f >= 128 or 128 % f != 0:
+        return False
     if v is None:
-        return jax.default_backend() == "tpu" and not _INTERPRET
+        return (128 // f >= 4 and jax.default_backend() == "tpu"
+                and not _INTERPRET)
     return bool(v)
 
 
@@ -224,7 +228,7 @@ def spmm_ell(
     # elementwise form fuses with the gather). fp32 accumulation even for
     # bf16 inputs (K can reach 64K on hub rows).
     out = None
-    if _lane_pack_on():
+    if _lane_pack_on(dense.shape[-1]):
         out = _gather_ksum_packed(dense, plan.cols, w, m, k, dense.dtype)
     if out is None:
         gathered = jnp.take(dense, plan.cols.reshape(-1), axis=0)
@@ -268,7 +272,7 @@ def gspmm_ell(
         rb, k = cols.shape
         f = dense.shape[-1]
         g = 128 // f if (f < 128 and 128 % f == 0) else 0
-        if _lane_pack_on() and g and k:
+        if _lane_pack_on(f) and g and k:
             # lane-packed combine+mask+K-sum: see _gather_ksum_packed.
             # K pads to a multiple of g; pad slots repeat the bucket's
             # last column/edge (edge mode keeps values real so DIV etc.
@@ -350,7 +354,7 @@ def spmm_bucketed_ell(
                     safe = jnp.maximum(eperm, 0).reshape(-1)
                     w = w * jnp.take(values, safe).reshape(rb, k).astype(
                         w.dtype)
-            if _lane_pack_on():
+            if _lane_pack_on(f):
                 packed = _gather_ksum_packed(dense, cols, w, rb, k,
                                              dense.dtype)
                 if packed is not None:
