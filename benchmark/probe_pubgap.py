@@ -44,13 +44,35 @@ def main():
 
     from dgsparse_tpu.ops.types import ReduceOp
 
+    def manual(dense):
+        # probe_lanepack2's winning formulation, verbatim
+        g = 128 // f
+        outs = []
+        o2 = 0
+        for cols, mask, eperm, _rows, _k in plan.bucket_views():
+            rb, k = cols.shape
+            w = jax.lax.slice(w_slot, (o2,), (o2 + rb * k,)).reshape(rb, k)
+            o2 += rb * k
+            k2 = (k + g - 1) // g * g
+            if k2 != k:
+                cols = jnp.pad(cols, ((0, 0), (0, k2 - k)), mode="edge")
+                w = jnp.pad(w, ((0, 0), (0, k2 - k)))
+            gathered = jnp.take(dense, cols.reshape(-1), axis=0)
+            gp = gathered.reshape(rb, k2 // g, g * f)
+            wp = jnp.repeat(w.reshape(rb, k2 // g, g), f, axis=2)
+            acc = (wp.astype(gp.dtype) * gp).sum(axis=1, dtype=jnp.float32)
+            outs.append(acc.reshape(rb, g, f).sum(axis=1)
+                        .astype(dense.dtype))
+        return kp._ell_recombine(plan, jnp.concatenate(outs, axis=0))
+
     cands = {
         "public spmm": lambda x: spmm(sp, x, "sum",
                                       Algorithm.PALLAS_ROW_TILE),
         "direct bucketed_ell": lambda x: kp.spmm_bucketed_ell(
-            plan, sp.storage.value(), x, ReduceOp.SUM, w_slot=w_slot),
+            plan, sp.storage.values(), x, ReduceOp.SUM, w_slot=w_slot),
         "direct, no w_slot": lambda x: kp.spmm_bucketed_ell(
-            plan, sp.storage.value(), x, ReduceOp.SUM, w_slot=None),
+            plan, sp.storage.values(), x, ReduceOp.SUM, w_slot=None),
+        "manual probe2 loop": manual,
     }
     ref = None
     for name, fn in cands.items():
