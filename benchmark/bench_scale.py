@@ -138,27 +138,48 @@ def bench_reddit_lean(name, rowptr, col, feat, chunks=16):
             s, e = bounds[i], bounds[i + 1]
             r0, r1 = rbounds[i], rbounds[i + 1]
             if e == s:
-                outs.append(jnp.zeros((r1 - r0, feat), bx.dtype))
+                outs.append(jnp.zeros((r1 - r0, feat), jnp.float32))
                 continue
-            contrib = jnp.take(bx, jax.lax.slice(col_a, (s,), (e,)), axis=0)
+            contrib = jnp.take(bx, jax.lax.slice(col_a, (s,), (e,)),
+                               axis=0).astype(jnp.float32)
             seg = jax.lax.slice(coo_a, (s,), (e,)) - r0
             outs.append(jax.ops.segment_sum(
                 contrib, seg, num_segments=r1 - r0,
                 indices_are_sorted=True))
         return jnp.concatenate(outs, axis=0)
 
-    # index arrays as args, not closures (HLO-constant size limit)
-    dt = time_pytree_2pt(fwd, (b, col_j, coo_j), iters=(2, 6), repeats=5)
-    if dt <= 0:
-        # fall back to blocking wall-time (coarse but nonzero)
-        import time as _t
+    def gather_only(bx, col_a, coo_a):
+        # the lean path's own floor: the per-edge random row gather alone,
+        # consumed by a chunk-local reduce so nothing materializes
+        acc = jnp.zeros((feat,), jnp.float32)
+        for i in range(chunks):
+            s, e = bounds[i], bounds[i + 1]
+            if e == s:
+                continue
+            g = jnp.take(bx, jax.lax.slice(col_a, (s,), (e,)), axis=0)
+            acc = acc + g.astype(jnp.float32).sum(axis=0)
+        return acc
 
-        r = jax.jit(fwd)(b, col_j, coo_j)
-        jax.device_get(r[-1, -1])
-        t0 = _t.perf_counter()
-        jax.device_get(jax.jit(fwd)(b, col_j, coo_j)[-1, -1])
-        dt = _t.perf_counter() - t0
-    return [_row(name, f"XLA_CHUNKED[{chunks}]", nnz, m, n, feat, dt)]
+    rows = []
+    for tag, bx in (("f32", b), ("bf16", b.astype(jnp.bfloat16))):
+        # index arrays as args, not closures (HLO-constant size limit)
+        dt = time_pytree_2pt(fwd, (bx, col_j, coo_j), iters=(2, 6),
+                             repeats=5)
+        if dt <= 0:
+            # fall back to blocking wall-time (coarse but nonzero)
+            import time as _t
+
+            r = jax.jit(fwd)(bx, col_j, coo_j)
+            jax.device_get(r[-1, -1])
+            t0 = _t.perf_counter()
+            jax.device_get(jax.jit(fwd)(bx, col_j, coo_j)[-1, -1])
+            dt = _t.perf_counter() - t0
+        rows.append(_row(name, f"XLA_CHUNKED[{chunks}] {tag}", nnz, m, n,
+                         feat, dt))
+        gt = time_pytree_2pt(gather_only, (bx, col_j, coo_j), iters=(2, 6),
+                             repeats=5)
+        rows.append(_row(name, f"gather floor {tag}", nnz, m, n, feat, gt))
+    return rows
 
 
 def bench_reddit_hybrid(name, rowptr, col, feat):
