@@ -216,6 +216,7 @@ def spmm_ell(
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_ell handles SUM/MEAN only")
     m, k = plan.cols.shape
+    f = dense.shape[-1]
     if w_slot is not None:
         w = w_slot.reshape(m, k)
     else:
@@ -223,18 +224,35 @@ def spmm_ell(
         if values is not None:
             safe = jnp.maximum(plan.eperm, 0).reshape(-1)
             w = w * jnp.take(values, safe).reshape(m, k).astype(w.dtype)
+
     # broadcast-multiply + K-sum (NOT einsum: the dot lowering forces a
     # materialized [m,K,F] relayout — measured +195 us on p2p@F=32; the
     # elementwise form fuses with the gather). fp32 accumulation even for
     # bf16 inputs (K can reach 64K on hub rows).
-    out = None
-    if _lane_pack_on(dense.shape[-1]):
-        out = _gather_ksum_packed(dense, plan.cols, w, m, k, dense.dtype)
-    if out is None:
-        gathered = jnp.take(dense, plan.cols.reshape(-1), axis=0)
-        gathered = gathered.reshape(m, k, dense.shape[-1])
-        out = (w.astype(gathered.dtype)[:, :, None] * gathered).sum(
+    def rows_out(cols, w, rb):
+        if _lane_pack_on(f):
+            packed = _gather_ksum_packed(dense, cols, w, rb, k, dense.dtype)
+            if packed is not None:
+                return packed
+        gathered = jnp.take(dense, cols.reshape(-1), axis=0)
+        gathered = gathered.reshape(rb, k, f)
+        return (w.astype(gathered.dtype)[:, :, None] * gathered).sum(
             axis=1, dtype=jnp.float32).astype(dense.dtype)
+
+    # Row-chunk so the gathered [rows, k, F] buffer stays under the gather
+    # budget — degree-regular 100M-edge graphs land on this single-K plan
+    # via AUTO and would otherwise materialize ~30 GB at F=64 (the same
+    # guard spmm_bucketed_ell has; chunk boundaries are static).
+    max_slots = max(_GATHER_BUDGET_BYTES // (4 * f), 1)
+    if m * k <= max_slots:
+        out = rows_out(plan.cols, w, m)
+    else:
+        rows_per = max(max_slots // k, 1)
+        out = jnp.concatenate(
+            [rows_out(plan.cols[r0:min(r0 + rows_per, m)],
+                      w[r0:min(r0 + rows_per, m)],
+                      min(r0 + rows_per, m) - r0)
+             for r0 in range(0, m, rows_per)], axis=0)
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
@@ -268,9 +286,23 @@ def gspmm_ell(
         inv_row = None
 
     outs = []
+    f = dense.shape[-1]
+    # gather-budget row-chunking (see spmm_ell): split any bucket whose
+    # gathered [rb*k, F] buffer would exceed the budget
+    max_slots = max(_GATHER_BUDGET_BYTES // (4 * f), 1)
+    split = []
     for cols, mask, eperm in buckets:
         rb, k = cols.shape
-        f = dense.shape[-1]
+        if rb * k <= max_slots or k == 0:
+            split.append((cols, mask, eperm))
+        else:
+            rows_per = max(max_slots // k, 1)
+            for r0 in range(0, rb, rows_per):
+                r1 = min(r0 + rows_per, rb)
+                split.append((cols[r0:r1], mask[r0:r1], eperm[r0:r1]))
+    buckets = split
+    for cols, mask, eperm in buckets:
+        rb, k = cols.shape
         g = 128 // f if (f < 128 and 128 % f == 0) else 0
         if _lane_pack_on(f) and g and k:
             # lane-packed combine+mask+K-sum: see _gather_ksum_packed.
@@ -310,8 +342,8 @@ def gspmm_ell(
             contrib.dtype)
         outs.append(contrib.sum(axis=1, dtype=jnp.float32)
                     .astype(dense.dtype))
-    out = outs[0] if inv_row is None else _ell_recombine(
-        plan, jnp.concatenate(outs, axis=0))
+    cat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    out = cat if inv_row is None else _ell_recombine(plan, cat)
     if reduce == ReduceOp.MEAN:
         if degrees is None:
             raise ValueError("degrees required for MEAN")
@@ -875,33 +907,51 @@ def spmm_ell_maxmin(plan, values, dense, reduce, compute=None, w_slot=None):
     buckets, inv_row = _ell_buckets(plan)
     outs, args = [], []
     o2 = 0
+    # same gather-budget row-chunking as the SUM/MEAN paths: the gathered
+    # [rows, k, F] fp32 buffer must never exceed the budget (single-K
+    # 100M-edge plans would otherwise materialize ~30 GB at F=64)
+    max_slots = max(_GATHER_BUDGET_BYTES // (4 * dense.shape[-1]), 1)
     for cols, mask, eperm, _rows, k in buckets:
         rb = cols.shape[0]
-        feats = jnp.take(dense, cols.reshape(-1),
-                         axis=0).astype(jnp.float32)
-        feats = feats.reshape(rb, k, -1)
-        if w_slot is not None:
-            # cached slot values (invalid slots are overridden by `fill`
-            # below, so their 0 placeholder is harmless)
-            v = jax.lax.slice(w_slot, (o2,), (o2 + rb * k,))
-            contrib = combine(compute, v.reshape(rb, k, 1).astype(
-                jnp.float32), feats)
-        elif values is not None:
-            v = jnp.take(values, jnp.maximum(eperm, 0).reshape(-1))
-            contrib = combine(compute, v.reshape(rb, k, 1).astype(
-                jnp.float32), feats)
+
+        def chunk_out(cols, mask, eperm, w_off, rb, k=k):
+            feats = jnp.take(dense, cols.reshape(-1),
+                             axis=0).astype(jnp.float32)
+            feats = feats.reshape(rb, k, -1)
+            if w_slot is not None:
+                # cached slot values (invalid slots are overridden by
+                # `fill` below, so their 0 placeholder is harmless)
+                v = jax.lax.slice(w_slot, (w_off,), (w_off + rb * k,))
+                contrib = combine(compute, v.reshape(rb, k, 1).astype(
+                    jnp.float32), feats)
+            elif values is not None:
+                v = jnp.take(values, jnp.maximum(eperm, 0).reshape(-1))
+                contrib = combine(compute, v.reshape(rb, k, 1).astype(
+                    jnp.float32), feats)
+            else:
+                contrib = feats
+            valid = (mask > 0)[:, :, None]
+            contrib = jnp.where(valid, contrib, fill)
+            out_b = contrib.max(axis=1) if is_max else contrib.min(axis=1)
+            arg_b = (jnp.argmax(contrib, axis=1) if is_max
+                     else jnp.argmin(contrib, axis=1)).astype(jnp.int32)
+            any_valid = mask.max(axis=1) > 0
+            # empty rows -> 0
+            return jnp.where(any_valid[:, None], out_b, 0), arg_b
+
+        if rb * k <= max_slots:
+            out_b, arg_b = chunk_out(cols, mask, eperm, o2, rb)
+            outs.append(out_b)
+            args.append(arg_b)
         else:
-            contrib = feats
+            rows_per = max(max_slots // k, 1)
+            for r0 in range(0, rb, rows_per):
+                r1 = min(r0 + rows_per, rb)
+                out_b, arg_b = chunk_out(cols[r0:r1], mask[r0:r1],
+                                         eperm[r0:r1], o2 + r0 * k, r1 - r0)
+                outs.append(out_b)
+                args.append(arg_b)
         o2 += rb * k
-        valid = (mask > 0)[:, :, None]
-        contrib = jnp.where(valid, contrib, fill)
-        out_b = contrib.max(axis=1) if is_max else contrib.min(axis=1)
-        arg_b = (jnp.argmax(contrib, axis=1) if is_max
-                 else jnp.argmin(contrib, axis=1)).astype(jnp.int32)
-        any_valid = mask.max(axis=1) > 0
-        out_b = jnp.where(any_valid[:, None], out_b, 0)   # empty rows -> 0
-        outs.append(out_b)
-        args.append(arg_b)
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     arg = args[0] if len(args) == 1 else jnp.concatenate(args, axis=0)
     if inv_row is not None:

@@ -66,13 +66,20 @@ def _use_esc(plan, nnz, reduce) -> bool:
 _FORCE_ELL = [False]  # test hook: take the ELL paths off-TPU
 
 
-def _use_ell(ell, reduce) -> bool:
+def _use_ell(ell, reduce, f) -> bool:
     from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
 
-    return ((jax.default_backend() == "tpu" or _FORCE_ELL[0])
-            and (isinstance(ell, EllPlan)
-                 or (isinstance(ell, BucketedEllPlan)
-                     and ell.pad_ratio() <= 2.0)))
+    ok = ((jax.default_backend() == "tpu" or _FORCE_ELL[0])
+          and (isinstance(ell, EllPlan)
+               or (isinstance(ell, BucketedEllPlan)
+                   and ell.pad_ratio() <= 2.0)))
+    if ok and reduce in (ReduceOp.MAX, ReduceOp.MIN):
+        # the maxmin backward's [slots, F] winner buffers cannot chunk —
+        # forward and backward must agree (arg space: K-slot vs edge ids)
+        from dgsparse_tpu.ops.spmm import _ell_maxmin_fits
+
+        ok = _ell_maxmin_fits(ell, f)
+    return ok
 
 
 def _forward(reduce, compute, has_value, idx, values, dense):
@@ -80,7 +87,7 @@ def _forward(reduce, compute, has_value, idx, values, dense):
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
-    if _use_ell(ell_fwd, reduce):
+    if _use_ell(ell_fwd, reduce, dense.shape[-1]):
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
         if reduce in (ReduceOp.MAX, ReduceOp.MIN):
@@ -140,7 +147,7 @@ def _gspmm_bwd(reduce, compute, has_value, residuals, g):
                 contrib, csc_col, num_segments=dense.shape[0],
                 indices_are_sorted=True,
             ).astype(dense.dtype)
-    elif _use_ell(_ell_fwd, reduce):
+    elif _use_ell(_ell_fwd, reduce, g.shape[-1]):
         # ELL forward → `arg_edge` is the winning K-slot per element in
         # bucket-concat row order; winner masks via a K-iota compare (see
         # ops/spmm.py), with the semiring partials applied per slot.

@@ -35,6 +35,24 @@ def _int_zero(x):
     return np.zeros(x.shape, dtype=_FLOAT0)
 
 
+def _ell_maxmin_fits(ell, f: int) -> bool:
+    """The ELL max/min BACKWARD materializes several [slots, F] winner
+    buffers at once (they cannot row-chunk: the repeat expansion spans the
+    whole plan) — gate the ELL max/min path on their size so 100M-edge
+    single-K plans route to the edge-chunked XLA formulation instead.
+    Forward and backward MUST agree on this (the argmax residual space
+    differs: K-slot vs edge ids)."""
+    from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
+
+    if isinstance(ell, BucketedEllPlan):
+        slots = sum(rb * k for rb, k in zip(ell.rbs, ell.ks))
+    elif isinstance(ell, EllPlan):
+        slots = ell.cols.size
+    else:
+        return False
+    return slots * f * 4 <= (1 << 30)
+
+
 def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                   idx, values, dense):
     """Dispatch the forward kernel. idx = (rowptr, col, coo_row, colptr,
@@ -93,7 +111,8 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
             from dgsparse_tpu.core.planner import BucketedEllPlan, EllPlan
 
             if algorithm == Algorithm.PALLAS_ROW_TILE and \
-                    isinstance(ell_fwd, (EllPlan, BucketedEllPlan)):
+                    isinstance(ell_fwd, (EllPlan, BucketedEllPlan)) and \
+                    _ell_maxmin_fits(ell_fwd, dense.shape[-1]):
                 from dgsparse_tpu.kernels.pallas_spmm import \
                     spmm_ell_maxmin
 
@@ -257,7 +276,8 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
                                  Algorithm.PALLAS_BELL)
                       and g.shape[-1] <= 2048 and plan_fwd is not None)
         used_ell = (any_pallas and alg_mm == Algorithm.PALLAS_ROW_TILE
-                    and isinstance(ell_fwd, (EllPlan, BucketedEllPlan)))
+                    and isinstance(ell_fwd, (EllPlan, BucketedEllPlan))
+                    and _ell_maxmin_fits(ell_fwd, g.shape[-1]))
         # mirror the forward's f32-slot-id guard on the ESC max/min kernel
         used_pallas = any_pallas and (
             used_ell or plan_fwd.padded_edges < 2 ** 24)

@@ -244,6 +244,45 @@ def test_bucketed_ell_chunked_gather_matches():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_single_k_ell_chunked_gather_matches():
+    """Tiny gather budget -> row chunking on the SINGLE-K EllPlan paths
+    (spmm_ell SUM/MEAN, gspmm_ell, spmm_ell_maxmin): degree-regular
+    100M-edge graphs land on these via AUTO and must never materialize the
+    full [rows*K, F] gather buffer."""
+    from dgsparse_tpu.core.planner import build_ell_plan
+    from dgsparse_tpu.kernels import pallas_spmm as kp
+    from dgsparse_tpu.ops.types import ComputeOp, ReduceOp
+    from dgsparse_tpu.utils.testing import gspmm_oracle, spmm_oracle
+
+    rowptr, col, vals = regular_graph(m=300, n=256, deg=6, seed=31)
+    plan = build_ell_plan(rowptr, col, 256)
+    assert plan is not None
+    x = jnp.asarray(np.random.default_rng(32)
+                    .standard_normal((256, 16)).astype(np.float32))
+    v = jnp.asarray(vals)
+    budget = kp._GATHER_BUDGET_BYTES
+    try:
+        kp._GATHER_BUDGET_BYTES = 40 * 16 * 4   # a few rows per chunk
+        out_sum = kp.spmm_ell(plan, v, x, ReduceOp.SUM)
+        out_gs = kp.gspmm_ell(plan, v, x, ReduceOp.SUM, ComputeOp.MUL)
+        out_max, arg_max = kp.spmm_ell_maxmin(plan, v, x, ReduceOp.MAX)
+    finally:
+        kp._GATHER_BUDGET_BYTES = budget
+    xs = np.asarray(x)
+    np.testing.assert_allclose(np.asarray(out_sum),
+                               spmm_oracle(rowptr, col, vals, xs, "sum"),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_gs),
+                               gspmm_oracle(rowptr, col, vals, xs,
+                                            "sum", "mul"),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_max),
+                               spmm_oracle(rowptr, col, vals, xs, "max"),
+                               rtol=1e-4, atol=1e-4)
+    # arg layout: one [rows, F] block in plan row order, K-slot ids
+    assert np.asarray(arg_max).shape == (plan.cols.shape[0], 16)
+
+
 def test_lane_packed_ksum_matches_unpacked():
     """F<128 lane-packing (fold 128/F K-slots per 128-lane group,
     pallas_spmm._ksum_packed) == the unpacked broadcast-multiply form, on
