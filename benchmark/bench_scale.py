@@ -182,6 +182,33 @@ def bench_reddit_lean(name, rowptr, col, feat, chunks=16):
     return rows
 
 
+def bench_reddit_ell(name, rowptr, col, feat):
+    """Single-K ELL plan at 115M edges through the public from_csr
+    (build_plans="ell"): viable now that spmm_ell row-chunks its gather to
+    the budget — the masked K-sum replaces the lean path's segment_sum
+    (which measures ~60 % of lean time, results_lean_r3.json)."""
+    from dgsparse_tpu import Algorithm, SparseTensor, spmm
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
+
+    m, nnz = len(rowptr) - 1, len(col)
+    t0 = time.perf_counter()
+    sp = SparseTensor.from_csr(rowptr, col, None, sparse_sizes=(m, m),
+                               build_plans="ell")
+    plan = sp.storage.ell_plan()
+    log(f"[{name}] ELL construction {time.perf_counter()-t0:.1f}s "
+        f"plan={type(plan).__name__} pad={plan.pad_ratio():.3f}"
+        if plan is not None else f"[{name}] no ELL plan built")
+    if plan is None:
+        return []
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal((m, feat)).astype(np.float32))
+    dt = time_pytree_2pt(
+        lambda x: spmm(sp, x, "sum", Algorithm.PALLAS_ROW_TILE), (b,),
+        iters=(2, 6), repeats=5)
+    return [_row(name, f"ELL chunked (pad {plan.pad_ratio():.2f})",
+                 nnz, m, m, feat, dt)]
+
+
 def bench_reddit_hybrid(name, rowptr, col, feat):
     """Hybrid BELL+ELL benchmark (plan built standalone, lean tensor):
     dense cells on the MXU, residue on bucketed ELL."""
@@ -486,6 +513,7 @@ def main():
             rowptr, col = clustered_graph(232965, 232965, 492, seed=5,
                                           intra=0.0)
             section(bench_reddit_lean, "reddit-random", rowptr, col, 64)
+            section(bench_reddit_ell, "reddit-random", rowptr, col, 64)
 
     log(f"wrote {args.out}")
     for r in results:
