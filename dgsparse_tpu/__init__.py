@@ -49,8 +49,33 @@ def version() -> dict:
     }
 
 
+def self_check() -> None:
+    """Post-install smoke test: plan construction + one SpMM on a tiny
+    graph, checked against a pure-numpy oracle. Used by the conda recipe's
+    `test.commands` and the docker HEALTHCHECK (packaging parity with the
+    reference's `test: imports:` block, conda/dgsparse/meta.yaml:32-34 —
+    ours additionally runs a numeric op, since a JAX install can import
+    fine yet have a broken backend)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    rowptr = np.array([0, 2, 3, 3, 5], np.int32)
+    col = np.array([1, 3, 0, 2, 2], np.int32)
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0], np.float32)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                               jnp.asarray(vals), sparse_sizes=(4, 4))
+    x = np.arange(8, dtype=np.float32).reshape(4, 2)
+    out = np.asarray(spmm(sp, jnp.asarray(x), "sum"))
+    ref = np.zeros((4, 2), np.float32)
+    for r in range(4):
+        for e in range(rowptr[r], rowptr[r + 1]):
+            ref[r] += vals[e] * x[col[e]]
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 __all__ = [
     "SparseTensor",
+    "self_check",
     "Storage",
     "ftransform",
     "version",

@@ -173,6 +173,12 @@ def _gather_ksum_packed(dense, cols, w, rb: int, k: int, out_dtype):
         cols = jnp.pad(cols.reshape(rb, k), ((0, 0), (0, k2 - k)),
                        mode="edge")
         w = jnp.pad(w, ((0, 0), (0, k2 - k)))
+    # Flat gather, then reshape to packed 128-lane rows. (A batched-index
+    # gather — cols.reshape(-1, g) producing [*, g, f] = native 128-lane
+    # rows — measured FASTER in isolation (261 vs 332 us with the weight
+    # multiply) but SLOWER end-to-end in this pipeline (931 vs 665 us on
+    # the p2p headline): with the K-axis reduce downstream, XLA fuses the
+    # flat form better. Keep the flat form; see benchmark/probe_lanepack2.)
     gathered = jnp.take(dense, cols.reshape(-1), axis=0)
     # [rb*k2, f] -> [rb, k2/g, g*f]: flat element order is unchanged, so
     # slot j of row r lands in group j//g at lanes (j%g)*f..(j%g+1)*f.
