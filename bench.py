@@ -7,8 +7,12 @@ GE-SpMM alg0 on V100 = 207.23 GFLOP/s (example/README.md:49-50, see
 BASELINE.md).
 
 Each candidate algorithm is measured in a SUBPROCESS with a timeout so a
-hung device/compile can never take down the whole benchmark; the parent
-prints exactly ONE JSON line (best successful measurement) to stdout.
+hung device/compile can never take down the whole benchmark; children
+write stage markers (init/construction/compile/timing) so a timeout is
+attributed to the stage it hung in, and a failed/timed-out child is
+retried ONCE (the round-3 driver capture lost the XLA_SEGMENT datapoint
+to an unexplained 300 s hang with no cause recorded). The parent prints
+exactly ONE JSON line (best successful measurement) to stdout.
 """
 
 import json
@@ -45,10 +49,17 @@ def load_graph():
     return rowptr, col, np.abs(vals), m, n
 
 
+def _mark(stage_path: str, stage: str) -> None:
+    with open(stage_path, "w") as f:
+        f.write(stage)
+
+
 def child(algorithm_name: str, out_path: str) -> None:
     from dgsparse_tpu.utils.cache import enable as enable_cache
 
     enable_cache()
+    stage_path = out_path + ".stage"
+    _mark(stage_path, "backend-init")
     import jax
     import jax.numpy as jnp
 
@@ -65,6 +76,7 @@ def child(algorithm_name: str, out_path: str) -> None:
     t0 = time.perf_counter()
     jax.device_get(jnp.zeros((8,), jnp.float32) + 1.0)
     log(f"[{algorithm_name}] backend init {time.perf_counter() - t0:.2f}s")
+    _mark(stage_path, "construction")
     t0 = time.perf_counter()
     sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
                                jnp.asarray(vals), sparse_sizes=(m, n))
@@ -77,6 +89,7 @@ def child(algorithm_name: str, out_path: str) -> None:
     fn = jax.jit(lambda x: spmm(sp, x, "sum", alg))
 
     # full-output correctness check (not a prefix slice)
+    _mark(stage_path, "compile+correctness")
     out = np.asarray(jax.device_get(fn(b)))
     ref = spmm_oracle(rowptr, col, vals, np.asarray(b), "sum")
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-3)
@@ -87,6 +100,7 @@ def child(algorithm_name: str, out_path: str) -> None:
     # per-dispatch latency — measured 1.3..29 ms depending on session; a
     # single-count loop at N=100 would overstate kernel time by up to
     # +290 us/iter, which is what polluted the round-1 number).
+    _mark(stage_path, "timing")
     from dgsparse_tpu.utils.bench import time_pytree_2pt
 
     dt = time_pytree_2pt(lambda x: spmm(sp, x, "sum", alg), (b,),
@@ -96,35 +110,62 @@ def child(algorithm_name: str, out_path: str) -> None:
     with open(out_path, "w") as f:
         json.dump({"alg": algorithm_name, "backend": backend,
                    "us": dt * 1e6, "gflops": gflops}, f)
+    _mark(stage_path, "done")
+
+
+def _run_child(alg: str, timeout: int, out_path: str):
+    """One child invocation. Returns (result_dict_or_None, failure_cause)."""
+    stage_path = out_path + ".stage"
+    if os.path.exists(stage_path):
+        os.unlink(stage_path)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             alg, out_path],
+            timeout=timeout, check=False,
+            stdout=sys.stderr, stderr=sys.stderr,
+        )
+        rc = proc.returncode
+    except subprocess.TimeoutExpired:
+        rc = "timeout"
+    stage = "not-started"
+    if os.path.exists(stage_path):
+        with open(stage_path) as f:
+            stage = f.read().strip()
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            return json.load(f), None
+    cause = (f"timed out after {timeout}s in stage '{stage}'"
+             if rc == "timeout" else f"exited rc={rc} in stage '{stage}'")
+    log(f"[{alg}] FAILED: {cause}")
+    return None, cause
 
 
 def main():
     results = []
+    failures = {}
     with tempfile.TemporaryDirectory() as td:
         # Children keep the worst case bounded: the row-tile Pallas path
         # (fastest measured), the ESC edge-tile path, and the XLA fallback
         # as the safety net if a Pallas child fails or the device
-        # misbehaves.
-        # budget per child: ~30 s backend init + ~2 s construction + one
-        # compile + 2-point timing; round 2's 700 s headroom was cold-start
-        # misattribution, now measured separately (init/construction logs)
+        # misbehaves. Each child retries ONCE on failure/timeout (transport
+        # hiccups on the tunneled device are transient; a repeat failure is
+        # recorded with its stage attribution).
         for alg, timeout in (("PALLAS_ROW_TILE", 420),
                              ("PALLAS_EDGE_TILE", 360),
                              ("XLA_SEGMENT", 300)):
             out_path = os.path.join(td, f"{alg}.json")
-            try:
-                subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--child",
-                     alg, out_path],
-                    timeout=timeout, check=False,
-                    stdout=sys.stderr, stderr=sys.stderr,
-                )
-            except subprocess.TimeoutExpired:
-                log(f"[{alg}] TIMED OUT after {timeout}s")
-            if os.path.exists(out_path):
-                with open(out_path) as f:
-                    results.append(json.load(f))
+            res, cause = _run_child(alg, timeout, out_path)
+            if res is None:
+                log(f"[{alg}] retrying once...")
+                res, cause2 = _run_child(alg, timeout, out_path)
+                if res is None:
+                    failures[alg] = {"first": cause, "retry": cause2}
+            if res is not None:
+                results.append(res)
 
+    for alg, cause in failures.items():
+        log(f"[{alg}] FINAL FAILURE: {json.dumps(cause)}")
     if results:
         best = max(results, key=lambda r: r["gflops"])
         print(json.dumps({

@@ -29,6 +29,7 @@ from dgsparse_tpu.core import ftransform
 from dgsparse_tpu.ops.types import ReduceOp, ComputeOp, Algorithm
 from dgsparse_tpu.ops.spmm import spmm, spmm_sum, spmm_mean, spmm_max, spmm_min
 from dgsparse_tpu.ops.spmm_mh import spmm_multihead
+from dgsparse_tpu.ops.spmm_coo import spmm_coo
 from dgsparse_tpu.ops.sddmm import sddmm, sddmm_coo
 from dgsparse_tpu.ops.gspmm import gspmm, GSpMM_u_e, GSpMM_u
 from dgsparse_tpu.ops.attention import gat_attention
@@ -91,6 +92,7 @@ __all__ = [
     "spmm_max",
     "spmm_min",
     "spmm_multihead",
+    "spmm_coo",
     "sddmm",
     "sddmm_coo",
     "gspmm",

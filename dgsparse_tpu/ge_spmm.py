@@ -111,3 +111,17 @@ def spmm_cuda_no_edge_value(sp_descr: SpMatCsrDescr_t,
     (src/ge-spmm/gespmm.h:72-82)."""
     d = dataclasses.replace(sp_descr, data=None)
     return gespmmCsrSpMM(d, B, GespmmAlg.DEFAULT)
+
+
+def cuda_csr_coo_spmm(row: jax.Array, col: jax.Array,
+                      values: Optional[jax.Array], B: jax.Array,
+                      nrow: int, transpose: bool = True) -> jax.Array:
+    """Legacy v2 COO entry (src/ge-spmm/gespmm_csrcoo_v2.cu:6-606): SpMM
+    directly over an (unsorted) edge list, no CSR required. The CUDA
+    version earns its keep through atomics; the TPU one through zero
+    preprocessing — see ops/spmm_coo.spmm_coo for the tradeoff."""
+    from dgsparse_tpu.ops.spmm_coo import spmm_coo
+
+    if transpose:
+        return spmm_coo(row, col, values, B, nrow, "sum")
+    return spmm_coo(row, col, values, B.T, nrow, "sum").T

@@ -156,6 +156,30 @@ def _lane_pack_on(f: int) -> bool:
     return bool(v)
 
 
+def _pack_pad_width(f: int):
+    """Tiny/odd F (not a divisor of 128): the next divisor-of-128 width
+    the feature axis pads to so the lane-packed K-sum applies. Only
+    widths <= 32 (fold >= 4) pay for themselves (PERF_GUIDE rule 11 —
+    the g=2 fold at F=64 measured a LOSS); F in 33..127 non-divisors run
+    unpacked (their [slots, F] tiles already occupy the 128-lane minor
+    physically, so padding wouldn't shrink anything). Replaces the
+    reference's dedicated N in {1..32} kernel matrix
+    (src/ge-spmm/gespmm_v2.cu:7-56) with one pad + the packed pipeline.
+    Returns None when no pad applies."""
+    if f >= 32 or 128 % f == 0:
+        return None
+    if not _lane_pack_on(32):   # same backend/flag gate as packing itself
+        return None
+    for w in (4, 8, 16, 32):
+        if w >= f:
+            return w
+    return None
+
+
+def _pad_feat(dense: jax.Array, w: int) -> jax.Array:
+    return jnp.pad(dense, ((0, 0), (0, w - dense.shape[-1])))
+
+
 def _gather_ksum_packed(dense, cols, w, rb: int, k: int, out_dtype):
     """Packed gather + (w * gather).sum(K): cols/w [rb, k]. Returns
     [rb, f] with fp32 accumulation, or None when F doesn't pack (>= 128
@@ -221,6 +245,10 @@ def spmm_ell(
     construction, dgsparse/storage.py:100)."""
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_ell handles SUM/MEAN only")
+    w_pad = _pack_pad_width(dense.shape[-1])
+    if w_pad is not None:
+        return spmm_ell(plan, values, _pad_feat(dense, w_pad), reduce,
+                        degrees, w_slot)[:, :dense.shape[-1]]
     m, k = plan.cols.shape
     f = dense.shape[-1]
     if w_slot is not None:
@@ -283,6 +311,10 @@ def gspmm_ell(
     compute = ComputeOp.MUL if compute is None else compute
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("gspmm_ell handles SUM/MEAN only")
+    w_pad = _pack_pad_width(dense.shape[-1])
+    if w_pad is not None:
+        return gspmm_ell(plan, values, _pad_feat(dense, w_pad), reduce,
+                         compute, degrees)[:, :dense.shape[-1]]
 
     if isinstance(plan, BucketedEllPlan):
         buckets = [(c, m_, e) for c, m_, e, _, _ in plan.bucket_views()]
@@ -371,6 +403,11 @@ def spmm_bucketed_ell(
     see spmm_ell."""
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_bucketed_ell handles SUM/MEAN only")
+    w_pad = _pack_pad_width(dense.shape[-1])
+    if w_pad is not None:
+        return spmm_bucketed_ell(
+            plan, values, _pad_feat(dense, w_pad), reduce, degrees,
+            w_slot)[:, :dense.shape[-1]]
     f = dense.shape[-1]
     # Memory bound: the gather materializes [rb*k, F]; at Reddit scale
     # (115M edges, F=64) that is ~30 GB. Chunk each bucket's rows so one

@@ -100,5 +100,74 @@ def test_shape_validation():
     with pytest.raises(ValueError):
         spmm_multihead(sp, jnp.asarray(values),
                        jnp.asarray(dense[:, 0, :]))
-    with pytest.raises(NotImplementedError):
-        spmm_multihead(sp, jnp.asarray(values), jnp.asarray(dense), "max")
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_maxmin_forward(reduce):
+    sp, rowptr, col, values, dense = make(13)
+    out = spmm_multihead(sp, jnp.asarray(values), jnp.asarray(dense),
+                         reduce)
+    ref = oracle_mh(rowptr, col, values, dense, reduce)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_maxmin_no_values(reduce):
+    sp, rowptr, col, _, dense = make(17)
+    out = spmm_multihead(sp, None, jnp.asarray(dense), reduce)
+    ref = oracle_mh(rowptr, col, None, dense, reduce)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_maxmin_grads_match_per_head_loop(reduce):
+    sp, rowptr, col, values, dense = make(19)
+    rng = np.random.default_rng(23)
+    ct = jnp.asarray(rng.standard_normal((M, H, F)).astype(np.float32))
+
+    def loss_mh(v, d):
+        return jnp.vdot(spmm_multihead(sp, v, d, reduce), ct)
+
+    def loss_loop(v, d):
+        from dgsparse_tpu import spmm
+
+        outs = [spmm(sp.set_values(v[:, k]), d[:, k, :], reduce,
+                     Algorithm.XLA_SEGMENT) for k in range(H)]
+        return jnp.vdot(jnp.stack(outs, axis=1), ct)
+
+    gv, gd = jax.grad(loss_mh, argnums=(0, 1))(jnp.asarray(values),
+                                               jnp.asarray(dense))
+    gv_r, gd_r = jax.grad(loss_loop, argnums=(0, 1))(jnp.asarray(values),
+                                                     jnp.asarray(dense))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_maxmin_chunked_matches_unchunked(reduce, monkeypatch):
+    """Force tiny edge chunks and check fwd+grads stay identical."""
+    from dgsparse_tpu.kernels import xla as kx
+
+    sp, rowptr, col, values, dense = make(29)
+    rng = np.random.default_rng(31)
+    ct = jnp.asarray(rng.standard_normal((M, H, F)).astype(np.float32))
+
+    def loss(v, d):
+        return jnp.vdot(spmm_multihead(sp, v, d, reduce), ct)
+
+    out1 = spmm_multihead(sp, jnp.asarray(values), jnp.asarray(dense),
+                          reduce)
+    g1 = jax.grad(loss, argnums=(0, 1))(jnp.asarray(values),
+                                        jnp.asarray(dense))
+    monkeypatch.setattr(kx, "_SPMM_CHUNK_BUDGET", 400 * 4 * H * F)
+    out2 = spmm_multihead(sp, jnp.asarray(values), jnp.asarray(dense),
+                          reduce)
+    g2 = jax.grad(loss, argnums=(0, 1))(jnp.asarray(values),
+                                        jnp.asarray(dense))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
