@@ -17,9 +17,15 @@ export TPU_VARIANT=$3   # "tpu" or "cpu"
 export CONDA_JAX_CONSTRAINT="jax==${JAX_VERSION}"
 case "$TPU_VARIANT" in
   tpu)
-    # libtpu is pinned by the jax release; the jax[tpu] extra resolves
-    # the exact build. Conda-side we pin the matching libtpu-nightly cut.
-    export CONDA_LIBTPU_CONSTRAINT="libtpu==${JAX_VERSION}.*"
+    # libtpu wheels use their own (date-based) versioning, do not track
+    # jax's version numbers, and are not on conda-forge — so there is NO
+    # conda-level libtpu pin (a "libtpu==${JAX_VERSION}.*" run dep could
+    # never resolve). The TPU runtime comes from pip at deploy time:
+    #   pip install "jax[tpu]==${JAX_VERSION}" \
+    #     -f https://storage.googleapis.com/jax-releases/libtpu_releases.html
+    # which resolves the libtpu build matched to that jax release (the
+    # same mechanism docker/Dockerfile uses).
+    export CONDA_LIBTPU_CONSTRAINT=""
     ;;
   cpu)
     export CONDA_LIBTPU_CONSTRAINT=""

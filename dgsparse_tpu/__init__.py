@@ -50,15 +50,28 @@ def version() -> dict:
     }
 
 
-def self_check() -> None:
+def self_check(require_native: bool = False) -> None:
     """Post-install smoke test: plan construction + one SpMM on a tiny
     graph, checked against a pure-numpy oracle. Used by the conda recipe's
     `test.commands` and the docker HEALTHCHECK (packaging parity with the
     reference's `test: imports:` block, conda/dgsparse/meta.yaml:32-34 —
     ours additionally runs a numeric op, since a JAX install can import
-    fine yet have a broken backend)."""
+    fine yet have a broken backend).
+
+    require_native=True additionally asserts the C++ host library loaded
+    (for installs that built it — docker/conda — where a silent numpy
+    fallback would contradict the packaging)."""
     import numpy as np
     import jax.numpy as jnp
+
+    if require_native:
+        from dgsparse_tpu import native as _native
+
+        if not _native.available():
+            raise RuntimeError(
+                "native host library (libdgsparse_host.so) did not load — "
+                "this install was built with it; check package data "
+                "shipped (dgsparse_tpu/libdgsparse_host.so)")
 
     rowptr = np.array([0, 2, 3, 3, 5], np.int32)
     col = np.array([1, 3, 0, 2, 2], np.int32)

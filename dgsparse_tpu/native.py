@@ -26,6 +26,14 @@ def _native_dir() -> str:
         os.path.abspath(__file__))), "native")
 
 
+def _packaged_so() -> str:
+    """Installed location: setup.py copies the .so into the package as
+    package data (wheel/conda/docker installs have no native/ source
+    tree next to site-packages)."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "libdgsparse_host.so")
+
+
 def load() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None on failure."""
     global _LIB, _TRIED
@@ -34,18 +42,26 @@ def load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     so = os.path.join(_native_dir(), "libdgsparse_host.so")
     src = os.path.join(_native_dir(), "dgsparse_host.cpp")
-    # Rebuild when missing OR stale (source newer than the binary) so an
-    # old artifact can never silently shadow the checked-in C++ source.
-    stale = (not os.path.exists(so)
-             or (os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(so)))
-    if stale:
-        try:
-            subprocess.run(["make", "-B", "-C", _native_dir()], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            if not os.path.exists(so):
-                return None
+    if os.path.exists(src):
+        # Dev checkout: rebuild when missing OR stale (source newer than
+        # the binary) so an old artifact can never silently shadow the
+        # checked-in C++ source.
+        stale = (not os.path.exists(so)
+                 or os.path.getmtime(src) > os.path.getmtime(so))
+        if stale:
+            try:
+                subprocess.run(["make", "-B", "-C", _native_dir()],
+                               check=True, capture_output=True, timeout=120)
+            except Exception:
+                if not os.path.exists(so):
+                    so = _packaged_so()
+    else:
+        # Installed package: the .so ships as package data next to this
+        # module (ADVICE r3: the docker/conda paths built it but never
+        # shipped it, silently falling back to numpy planners).
+        so = _packaged_so()
+    if not os.path.exists(so):
+        return None
     try:
         lib = ctypes.CDLL(so)
         lib.dg_csr2csc.argtypes = [_I32P, _I32P, ctypes.c_int32,
