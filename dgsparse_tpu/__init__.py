@@ -30,6 +30,8 @@ from dgsparse_tpu.ops.types import ReduceOp, ComputeOp, Algorithm
 from dgsparse_tpu.ops.spmm import spmm, spmm_sum, spmm_mean, spmm_max, spmm_min
 from dgsparse_tpu.ops.spmm_mh import spmm_multihead
 from dgsparse_tpu.ops.spmm_coo import spmm_coo
+from dgsparse_tpu.ops.slot import (SlotValues, sddmm_slots, edge_softmax_slots,
+                                   spmm_slots, slots_to_edges, edges_to_slots)
 from dgsparse_tpu.ops.sddmm import sddmm, sddmm_coo
 from dgsparse_tpu.ops.gspmm import gspmm, GSpMM_u_e, GSpMM_u
 from dgsparse_tpu.ops.attention import gat_attention
@@ -106,6 +108,12 @@ __all__ = [
     "spmm_min",
     "spmm_multihead",
     "spmm_coo",
+    "SlotValues",
+    "sddmm_slots",
+    "edge_softmax_slots",
+    "spmm_slots",
+    "slots_to_edges",
+    "edges_to_slots",
     "sddmm",
     "sddmm_coo",
     "gspmm",

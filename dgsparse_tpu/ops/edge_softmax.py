@@ -16,9 +16,17 @@ import jax.numpy as jnp
 from dgsparse_tpu.core.formats import SparseTensor
 
 
-def edge_softmax(sparse: SparseTensor, logits: jax.Array) -> jax.Array:
+def edge_softmax(sparse: SparseTensor, logits) -> jax.Array:
     """Softmax of `logits` [nnz] or [nnz, ...] (e.g. per attention head)
-    grouped by destination row. Returns the same shape."""
+    grouped by destination row. Returns the same shape.
+
+    Also accepts `SlotValues` (plan-slot-resident logits, ops/slot.py)
+    and returns SlotValues — the pipeline then never pays the
+    ~20 ns/edge CSR-edge-order assembly (PERF_GUIDE rule 8)."""
+    from dgsparse_tpu.ops.slot import SlotValues, edge_softmax_slots
+
+    if isinstance(logits, SlotValues):
+        return edge_softmax_slots(sparse, logits)
     st = sparse.storage
     row = st.coo_row()
     m = sparse.sparse_sizes()[0]

@@ -259,10 +259,25 @@ def _hybrid_sum_mean(sparse: SparseTensor, dense: jax.Array,
 
 
 def gspmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
-          compute="mul") -> jax.Array:
+          compute="mul", values=None) -> jax.Array:
     """Semiring SpMM over a SparseTensor. compute is ignored (copy_u) when
-    the tensor has no values."""
+    the tensor has no values.
+
+    `values` may be a `SlotValues` (plan-slot-resident edge values,
+    ops/slot.py) to override the tensor's own values without the
+    edge-order assembly — supported for the multiplicative semiring
+    (compute='mul', reduce sum/mean), which is the weighted-SpMM case
+    chained pipelines produce."""
     reduce, compute = as_reduce(reduce), as_compute(compute)
+    from dgsparse_tpu.ops.slot import SlotValues, spmm_slots
+
+    if isinstance(values, SlotValues):
+        if compute != ComputeOp.MUL or reduce not in (ReduceOp.SUM,
+                                                      ReduceOp.MEAN):
+            raise NotImplementedError(
+                "SlotValues gspmm supports compute='mul' with sum/mean; "
+                "assemble edge order (slots_to_edges) for other semirings")
+        return spmm_slots(sparse, values, dense, reduce)
     from dgsparse_tpu.utils.debug import maybe_validate
 
     maybe_validate(sparse)

@@ -231,6 +231,22 @@ def spmm_multihead(sparse: SparseTensor, values, dense: jax.Array,
     """
     reduce = as_reduce(reduce)
     algorithm = as_algorithm(algorithm)
+    from dgsparse_tpu.ops.slot import SlotValues, spmm_slots
+
+    if isinstance(values, (list, tuple)) and values \
+            and all(isinstance(v, SlotValues) for v in values):
+        # slot-order per-head values: one slot-space SpMM per head (H is
+        # small in attention models; each head rides the planned tier
+        # kernels with no edge-order assembly — PERF_GUIDE rule 8)
+        if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
+            raise NotImplementedError(
+                "slot-order multi-head supports sum/mean")
+        if dense.ndim != 3 or dense.shape[1] != len(values):
+            raise ValueError(
+                f"dense must be [N, H={len(values)}, F], got {dense.shape}")
+        outs = [spmm_slots(sparse, sv, dense[:, h, :], reduce)
+                for h, sv in enumerate(values)]
+        return jnp.stack(outs, axis=1)
     st = sparse.storage
     nnz = int(st.col().shape[0])
     if dense.ndim != 3:

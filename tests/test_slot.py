@@ -1,0 +1,218 @@
+"""Slot-space edge-value pipelines (ops/slot.py) vs edge-order oracles.
+
+Covers both layouts: pure bucketed-ELL storages and 3-tier hybrid
+storages (dense cells + BELL + ELL residue), forward and gradients, plus
+the boundary converters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgsparse_tpu import (SparseTensor, edge_softmax, edge_softmax_slots,
+                          edges_to_slots, sddmm, sddmm_slots, slots_to_edges,
+                          spmm, spmm_slots)
+from dgsparse_tpu.utils.testing import random_csr
+
+
+def make_ell(seed=0, m=900, n=800, f=24):
+    # above the 4096-nnz plan threshold so the bucketed-ELL plan builds
+    rowptr, col, vals = random_csr(m, n, avg_degree=7, seed=seed, skew=1.2)
+    rng = np.random.default_rng(seed + 1)
+    d1 = rng.standard_normal((m, f)).astype(np.float32)
+    d2 = rng.standard_normal((n, f)).astype(np.float32)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col), None,
+                               sparse_sizes=(m, n))
+    return sp, rowptr, col, d1, d2
+
+
+def _dedupe(rowptr, col):
+    """Unique (row, col) pairs: per-edge slot values are per POSITION in
+    the dense-cell tier, so duplicate edges with DIFFERENT values have no
+    slot representation (documented in ops/slot.py)."""
+    m = len(rowptr) - 1
+    row = np.repeat(np.arange(m, dtype=np.int64),
+                    np.diff(rowptr).astype(np.int64))
+    key = np.unique(row * (col.max() + 1) + col)
+    row_u = (key // (col.max() + 1)).astype(np.int64)
+    col_u = (key % (col.max() + 1)).astype(np.int32)
+    rp = np.zeros(m + 1, np.int64)
+    np.add.at(rp, row_u + 1, 1)
+    return np.cumsum(rp).astype(np.int32), col_u
+
+
+def make_hybrid(seed=0, f=16):
+    from tests.test_hybrid import clustered_csr
+
+    m = n = 1500
+    rowptr, col, vals = clustered_csr(m=m, n=n, seed=seed)
+    rowptr, col = _dedupe(rowptr, col)
+    rng = np.random.default_rng(seed + 1)
+    d1 = rng.standard_normal((m, f)).astype(np.float32)
+    d2 = rng.standard_normal((n, f)).astype(np.float32)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col), None,
+                               sparse_sizes=(m, n))
+    return sp, rowptr, col, d1, d2
+
+
+def _require_layout(sp, kind):
+    from dgsparse_tpu.core.planner import HybridPlan
+
+    ell = sp.storage.ell_plan()
+    if kind == "hybrid":
+        assert isinstance(ell, HybridPlan), "fixture must build hybrid"
+    else:
+        assert ell is not None and not isinstance(ell, HybridPlan)
+
+
+@pytest.mark.parametrize("kind", ["ell", "hybrid"])
+def test_sddmm_slots_matches_edge_order(kind):
+    sp, rowptr, col, d1, d2 = (make_ell(3) if kind == "ell"
+                               else make_hybrid(3))
+    _require_layout(sp, kind)
+    sv = sddmm_slots(sp, jnp.asarray(d1), jnp.asarray(d2))
+    got = np.asarray(slots_to_edges(sp, sv))
+    ref = np.asarray(sddmm(sp, jnp.asarray(d1), jnp.asarray(d2)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["ell", "hybrid"])
+def test_edge_softmax_slots_matches_edge_order(kind):
+    sp, rowptr, col, d1, d2 = (make_ell(5) if kind == "ell"
+                               else make_hybrid(5))
+    sv = sddmm_slots(sp, jnp.asarray(d1), jnp.asarray(d2))
+    soft = edge_softmax_slots(sp, sv)
+    got = np.asarray(slots_to_edges(sp, soft))
+    logits = slots_to_edges(sp, sv)
+    ref = np.asarray(edge_softmax(sp, logits))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["ell", "hybrid"])
+def test_spmm_slots_matches_edge_order(kind):
+    sp, rowptr, col, d1, d2 = (make_ell(7) if kind == "ell"
+                               else make_hybrid(7))
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal(
+        (sp.sparse_sizes()[1], d1.shape[1])).astype(np.float32))
+    vals = jnp.asarray(rng.standard_normal(len(col)).astype(np.float32))
+    sv = edges_to_slots(sp, vals)
+    out = spmm_slots(sp, sv, x)
+    ref = spmm(sp.set_values(vals), x, "sum")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # mean too
+    out_m = spmm_slots(sp, sv, x, "mean")
+    ref_m = spmm(sp.set_values(vals), x, "mean")
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(ref_m),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["ell", "hybrid"])
+def test_full_chain_matches_edge_order_pipeline(kind):
+    """SDDMM -> softmax -> SpMM entirely in slot space == the edge-order
+    pipeline (the GAT-shaped chain VERDICT r3 #4 targets)."""
+    sp, rowptr, col, d1, d2 = (make_ell(13) if kind == "ell"
+                               else make_hybrid(13))
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal(
+        (sp.sparse_sizes()[1], d1.shape[1])).astype(np.float32))
+
+    def chain_slots(d1, d2, x):
+        sv = sddmm_slots(sp, d1, d2)
+        return spmm_slots(sp, edge_softmax_slots(sp, sv), x)
+
+    def chain_edges(d1, d2, x):
+        v = sddmm(sp, d1, d2)
+        return spmm(sp.set_values(edge_softmax(sp, v)), x, "sum")
+
+    a = chain_slots(jnp.asarray(d1), jnp.asarray(d2), x)
+    b = chain_edges(jnp.asarray(d1), jnp.asarray(d2), x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["ell", "hybrid"])
+def test_full_chain_grads(kind):
+    sp, rowptr, col, d1, d2 = (make_ell(19) if kind == "ell"
+                               else make_hybrid(19))
+    m, n = sp.sparse_sizes()
+    f = d1.shape[1]
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((m, f)).astype(np.float32))
+
+    def loss_slots(d1, d2, x):
+        sv = sddmm_slots(sp, d1, d2)
+        out = spmm_slots(sp, edge_softmax_slots(sp, sv), x)
+        return jnp.vdot(out, ct)
+
+    def loss_edges(d1, d2, x):
+        v = sddmm(sp, d1, d2)
+        out = spmm(sp.set_values(edge_softmax(sp, v)), x, "sum")
+        return jnp.vdot(out, ct)
+
+    gs = jax.grad(loss_slots, argnums=(0, 1, 2))(
+        jnp.asarray(d1), jnp.asarray(d2), x)
+    ge = jax.grad(loss_edges, argnums=(0, 1, 2))(
+        jnp.asarray(d1), jnp.asarray(d2), x)
+    for a, b in zip(gs, ge):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("kind", ["ell", "hybrid"])
+def test_boundary_roundtrip(kind):
+    sp, rowptr, col, d1, d2 = (make_ell(29) if kind == "ell"
+                               else make_hybrid(29))
+    rng = np.random.default_rng(31)
+    # roundtrip is exact only for unique edges; assign per-edge values
+    # that agree on duplicates (value = f(row, col))
+    coo_row = np.repeat(np.arange(len(rowptr) - 1, dtype=np.int64),
+                        np.diff(rowptr).astype(np.int64))
+    key = (coo_row * 100003 + col.astype(np.int64)) % 997
+    vals = jnp.asarray((key / 997.0).astype(np.float32))
+    sv = edges_to_slots(sp, vals)
+    back = slots_to_edges(sp, sv)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(vals),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_layout_error_without_plans():
+    rowptr, col, vals = random_csr(40, 40, avg_degree=3, seed=0)
+    sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col), None,
+                               sparse_sizes=(40, 40), build_plans=False)
+    with pytest.raises(NotImplementedError):
+        sddmm_slots(sp, jnp.zeros((40, 8)), jnp.zeros((40, 8)))
+
+
+def test_public_entry_dispatch():
+    """edge_softmax / gspmm / spmm_multihead accept slot-order values."""
+    from dgsparse_tpu import gspmm, spmm_multihead
+
+    sp, rowptr, col, d1, d2 = make_ell(37)
+    m, n = sp.sparse_sizes()
+    f = d1.shape[1]
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+
+    sv = sddmm_slots(sp, jnp.asarray(d1), jnp.asarray(d2))
+    soft = edge_softmax(sp, sv)          # SlotValues in -> SlotValues out
+    assert hasattr(soft, "ell")
+    out_g = gspmm(sp, x, "sum", "mul", values=soft)
+    ref = spmm(sp.set_values(edge_softmax(sp, slots_to_edges(sp, sv))), x,
+               "sum")
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # multi-head: 2 heads with different slot values
+    sv2 = edge_softmax(sp, sddmm_slots(sp, jnp.asarray(d1 * 2.0),
+                                       jnp.asarray(d2)))
+    xh = jnp.asarray(rng.standard_normal((n, 2, f)).astype(np.float32))
+    out_mh = spmm_multihead(sp, [soft, sv2], xh, "sum")
+    r0 = spmm_slots(sp, soft, xh[:, 0, :])
+    r1 = spmm_slots(sp, sv2, xh[:, 1, :])
+    np.testing.assert_allclose(np.asarray(out_mh[:, 0]), np.asarray(r0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_mh[:, 1]), np.asarray(r1),
+                               rtol=1e-5, atol=1e-5)
