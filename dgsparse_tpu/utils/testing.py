@@ -140,9 +140,13 @@ def collective_volumes(fn, *args) -> dict:
     catches the regression.
     """
     import jax
+    import jax.extend  # noqa: F401 — jax.extend.core needs the submodule import
 
     names = {"ppermute", "all_gather", "psum", "psum_scatter",
-             "all_to_all", "reduce_scatter", "all_gather_invariant"}
+             "all_to_all", "reduce_scatter", "all_gather_invariant",
+             "psum_invariant"}  # shard_map traces psum as psum_invariant
+    # fold *_invariant spellings into the base name so callers see one key
+    canon = {"all_gather_invariant": "all_gather", "psum_invariant": "psum"}
     totals: dict = {}
 
     def walk(jaxpr):
@@ -151,8 +155,8 @@ def collective_volumes(fn, *args) -> dict:
                 n = sum(int(np.prod(v.aval.shape))
                         for v in eqn.invars if hasattr(v, "aval")
                         and hasattr(v.aval, "shape"))
-                totals[eqn.primitive.name] = totals.get(
-                    eqn.primitive.name, 0) + n
+                key = canon.get(eqn.primitive.name, eqn.primitive.name)
+                totals[key] = totals.get(key, 0) + n
             for v in eqn.params.values():
                 if isinstance(v, jax.extend.core.ClosedJaxpr):
                     walk(v.jaxpr)
