@@ -283,6 +283,48 @@ def build_rulebook(
                           separate_mid, quant), out_coords.astype(np.int32)
 
 
+def plan_from_reference_rulebook(data: dict, quant: int = 128) -> SpConvPlan:
+    """Build a SpConvPlan from a dgSPARSE sample-data rulebook dict — the
+    real MinkUNet/SemanticKITTI fixtures the reference tests against
+    (example/data/sample-data/{fp32,fp16}/minkunet-semantickitti/*.pth;
+    field layout per test/test_spconv.py:106-118: per-offset pair counts
+    `knnz`, exclusive-scan `kpos`, and the concatenated `imap`/`omap`
+    streams). Mirrors the reference's separate-mid detection
+    (test_spconv.py:120-124): submanifold fixtures carry an EMPTY center
+    offset whose identity map is served by the dense center-tap matmul."""
+    knnz = np.asarray(data["knnz"], np.int64)
+    kpos = np.asarray(data["kpos"], np.int64)
+    imap = np.asarray(data["imap"], np.int64)
+    omap = np.asarray(data["omap"], np.int64)
+    k_vol = int(data["k_vol"])
+    in_nnz = int(data["in_nnz"])
+    out_nnz = int(data["out_nnz"])
+    if len(kpos) != k_vol + 1 or int(kpos[-1]) != len(imap):
+        raise ValueError("inconsistent rulebook: kpos does not index imap")
+    separate_mid = in_nnz == out_nnz
+    mid = (k_vol - 1) // 2
+    imaps = [imap[kpos[k]:kpos[k] + knnz[k]].astype(np.int32)
+             for k in range(k_vol)]
+    omaps = [omap[kpos[k]:kpos[k] + knnz[k]].astype(np.int32)
+             for k in range(k_vol)]
+    knnz = [int(x) for x in knnz]
+    if separate_mid and knnz[mid]:
+        # real SemanticKITTI fixtures carry the center tap as an explicit
+        # identity map — strip it so it rides the dense center-tap matmul
+        # (the reference's separate_mid cuBLAS GEMM,
+        # src/cuda/spconv_cuda.cu:44-83)
+        ident = np.arange(knnz[mid], dtype=np.int32)
+        if knnz[mid] == in_nnz and np.array_equal(imaps[mid], ident) \
+                and np.array_equal(omaps[mid], ident):
+            imaps[mid] = np.empty(0, np.int32)
+            omaps[mid] = np.empty(0, np.int32)
+            knnz[mid] = 0
+        else:
+            separate_mid = False     # non-identity center: keep the maps
+    return _finalize_plan(imaps, omaps, knnz, k_vol,
+                          out_nnz, in_nnz, separate_mid, quant)
+
+
 def _finalize_plan(imaps, omaps, knnz, k_vol, num_out, nnz, separate_mid,
                    quant) -> SpConvPlan:
     # Dense per-offset maps. Because every (output, offset) has at most ONE
