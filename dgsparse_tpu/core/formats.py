@@ -14,6 +14,7 @@ shape (M, N), nnz, and `has_value` are static aux data — sparsity *structure*
 is compile-time constant; only values/features are traced.
 """
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -21,6 +22,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgsparse_tpu.core import transform as T
+
+# Pre-expanded packed-weight cache (wp_slot): OFF by default — the
+# end-to-end A/B through the public spmm() measured a consistent 1.45x
+# LOSS (964 vs 672 us on the p2p headline, docs/BENCHMARKS.md §1c): the
+# expanded table is 128/g x wider than the raw weights, so the extra HBM
+# read exceeds the jnp.repeat it removes (XLA broadcasts the repeat for
+# free inside the gather-consumer fusion). Kept behind DGSPARSE_WP_CACHE=1
+# as the checked-in refutation.
+_WP_CACHE_BUDGET_BYTES = 256 << 20
+_WP_CACHE_ENABLED = os.environ.get("DGSPARSE_WP_CACHE", "0") == "1"
+
+
+def _wp_to_device(val):
+    """Host wp structure (array / tuple-of-arrays, None entries) -> device."""
+    if val is None:
+        return None
+    if isinstance(val, tuple):
+        return tuple(None if p is None else jnp.asarray(p) for p in val)
+    return jnp.asarray(val)
 
 
 def _as_i32(x) -> jax.Array:
@@ -265,18 +285,58 @@ class Storage:
         from dgsparse_tpu.core.planner import BucketedEllPlan as _BEP
         from dgsparse_tpu.core.planner import EllPlan as _EP
 
+        self._mm_bwd = None
         if isinstance(self._ell_fwd, (_EP, _BEP)) \
                 and self._plan_bwd is not None:
             inv_h = self._host_perm("_ell_inv", self._ell_fwd.inv)
             ep_h = self._host_perm("_bwd_eperm", self._plan_bwd.eperm)
             perm_h = self._host_perm("_csr2csc", self._csr2csc)
-            comp = inv_h[perm_h[np.maximum(ep_h, 0)]]
+            csr_edge_of_slot = perm_h[np.maximum(ep_h, 0)]
+            comp = inv_h[csr_edge_of_slot]
             self._mm_comp = jnp.asarray(comp.astype(np.int32))
+            # Decompose the composed fwd-slot ids into (bucket-concat row,
+            # K index) + the CSR-edge -> bwd-slot positions, so the MAX/MIN
+            # backward can run entirely in bwd-slot space (no [slots, F]
+            # repeat expansions, no extra permutation row-gather — see
+            # ops/spmm.py _spmm_bwd). Structural gate: skip at huge slot
+            # counts (the ELL max/min path itself is size-gated away there).
+            if len(comp) * 4 <= (256 << 20):
+                if isinstance(self._ell_fwd, _BEP):
+                    rbs, ks = self._ell_fwd.rbs, self._ell_fwd.ks
+                else:
+                    rbs, ks = ((self._ell_fwd.num_rows,),
+                               (self._ell_fwd.k,))
+                # fwd flat slot -> (bucket-concat row, k) without
+                # materializing [total_slots] tables when avoidable: do it
+                # per bucket with searchsorted on the slot offsets
+                offs = np.cumsum([0] + [rb * k for rb, k in zip(rbs, ks)])
+                roffs = np.cumsum([0] + list(rbs))
+                b_of = np.searchsorted(offs, comp, side="right") - 1
+                b_of = np.clip(b_of, 0, len(rbs) - 1)
+                ks_arr = np.asarray(ks, np.int64)[b_of]
+                local = comp - offs[b_of]
+                safe_k = np.maximum(ks_arr, 1)
+                rows_b = roffs[b_of] + local // safe_k
+                k_b = local % safe_k
+                valid = ep_h >= 0
+                epos = np.zeros(self._col.shape[0], np.int64)
+                slot_ids = np.arange(len(ep_h), dtype=np.int64)
+                epos[csr_edge_of_slot[valid]] = slot_ids[valid]
+                self._mm_bwd = {
+                    "rows": jnp.asarray(rows_b.astype(np.int32)),
+                    "kidx": jnp.asarray(k_b.astype(np.int32)),
+                    "epos": jnp.asarray(epos.astype(np.int32)),
+                }
         self._vslot = self._build_vslot(values)
 
     def mm_comp(self):
         """bwd-plan slot -> fwd ELL flat slot (None when unavailable)."""
         return getattr(self, "_mm_comp", None)
+
+    def mm_bwd(self):
+        """bwd-slot-space index set for the ELL MAX/MIN backward
+        ({rows, kidx, epos} dict or None; see __init__)."""
+        return getattr(self, "_mm_bwd", None)
 
     def ones_vslot(self):
         """Memoized ones-value vslot (the has_value=False cache) for
@@ -288,6 +348,80 @@ class Storage:
             v = self._build_vslot(None)
             self._ones_vslot = v if v is not None else False
         return v or None
+
+    def wp_slot(self, f_eff: int, dtype):
+        """Memoized pre-expanded packed K-sum weights for the ELL forward
+        plan at effective feature width f_eff (a divisor of 128, <= 32).
+
+        kernels.pallas_spmm._gather_ksum_packed folds g = 128/f K-slots
+        into full 128-lane rows; this caches the weight expansion
+        (jnp.repeat over f lanes) at plan time. REFUTED end-to-end and
+        default-OFF: the isolated probe showed 478 -> 345 us with the
+        expansion passed as an input, but through the public spmm() it
+        is a consistent 1.45x loss (964 vs 672 us) — the expanded table
+        adds more HBM traffic than the repeat it removes (see
+        docs/BENCHMARKS.md §1c, 2026-08-19).
+
+        Returns per-plan-shape structure (EllPlan -> one array,
+        BucketedEllPlan / HybridPlan residue -> tuple per bucket) or None
+        when no concrete slot values exist, f doesn't pack, or the
+        expansion exceeds the cache budget."""
+        from dgsparse_tpu.core.planner import (BucketedEllPlan, EllPlan,
+                                               HybridPlan)
+        from dgsparse_tpu.kernels.pallas_spmm import _round_up, build_wp_np
+
+        if not _WP_CACHE_ENABLED or f_eff >= 128 or 128 % f_eff != 0:
+            return None
+        vslot = self._vslot
+        if vslot is None:
+            return None
+        ell_w = vslot.get("ell")
+        plan = getattr(self, "_ell_fwd", None)
+        if isinstance(plan, HybridPlan):
+            plan = plan.ell
+            ell_w = ell_w.get("ell") if isinstance(ell_w, dict) else None
+        if ell_w is None or isinstance(ell_w, (dict, tuple)) or \
+                isinstance(ell_w, jax.core.Tracer):
+            return None
+        key = (int(f_eff), np.dtype(dtype).name)
+        cache = getattr(self, "_wp_cache", None)
+        if cache is None:
+            cache = {}
+            self._wp_cache = cache
+        ent = cache.get(key)
+        if ent is not None:
+            return ent[0]
+        g = 128 // f_eff
+        if isinstance(plan, BucketedEllPlan):
+            shapes = list(zip(plan.rbs, plan.ks))
+        elif isinstance(plan, EllPlan):
+            shapes = [plan.cols.shape]
+        else:
+            return None
+        total = sum(rb * (_round_up(k, g) // g) * 128
+                    for rb, k in shapes if k)
+        if total * np.dtype(dtype).itemsize > _WP_CACHE_BUDGET_BYTES:
+            cache[key] = (None, True)
+            return None
+        w_np = np.asarray(jax.device_get(ell_w)).astype(np.dtype(dtype))
+        parts, off = [], 0
+        for rb, k in shapes:
+            if k == 0:
+                parts.append(None)
+                continue
+            parts.append(build_wp_np(w_np[off:off + rb * k], rb, k, f_eff))
+            off += rb * k
+        out = parts[0] if isinstance(plan, EllPlan) else tuple(parts)
+        # Device-backed arrays, even when called under an enclosing jit
+        # trace: plain jnp.asarray here would leak tracers (every
+        # primitive bind is staged under JAX's dynamic trace), so the
+        # upload runs inside ensure_compile_time_eval — the result is a
+        # committed Array the trace captures as a constant operand rather
+        # than re-embedding a 20 MB numpy literal per compile.
+        with jax.ensure_compile_time_eval():
+            out = _wp_to_device(out)
+        cache[key] = (out, True)
+        return out
 
     def _host_perm(self, name: str, arr) -> np.ndarray:
         """Memoized host copy of a static per-structure permutation."""
@@ -466,6 +600,7 @@ class Storage:
             self._ell_fwd,
             self._vslot,
             self._mm_comp,
+            self._mm_bwd,
         )
         aux = (self._num_rows, self._num_cols, self._nnz, self._tune_key)
         return children, aux
@@ -489,6 +624,7 @@ class Storage:
             obj._ell_fwd,
             obj._vslot,
             obj._mm_comp,
+            obj._mm_bwd,
         ) = children
         obj._num_rows, obj._num_cols, obj._nnz, obj._tune_key = aux
         return obj
@@ -615,6 +751,7 @@ class SparseTensor:
         st._bell_fwd, st._bell_bwd = src._bell_fwd, src._bell_bwd
         st._ell_fwd = src._ell_fwd
         st._mm_comp = src.mm_comp()
+        st._mm_bwd = src.mm_bwd()
         st._tune_key = src._tune_key
         st._num_rows, st._num_cols, st._nnz = (
             src._num_rows,
@@ -657,6 +794,7 @@ class SparseTensor:
         st._bell_fwd, st._bell_bwd = src._bell_bwd, src._bell_fwd
         st._ell_fwd = None
         st._mm_comp = None  # fwd ELL plan not carried over
+        st._mm_bwd = None
         st._vslot = st._build_vslot(vals)
         st._tune_key = None  # transposed structure: tuned entries don't map
         st._num_rows, st._num_cols = src._num_cols, src._num_rows

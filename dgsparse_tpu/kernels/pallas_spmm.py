@@ -23,10 +23,12 @@ which carries argmax residuals.
 """
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -146,13 +148,52 @@ def set_lane_pack(value) -> None:
     _LANE_PACK[0] = value
 
 
+# Persisted lane-pack default (the regression tripwire,
+# tests/test_lanepack_guard.py): the flag flip rests on noisy within-
+# session A/Bs (±5 % wins against ±10-20 % session spread), so a TPU-
+# suite guard re-measures the interleaved A/B and records the sign here;
+# auto mode honours the recorded sign over the built-in default.
+_LANE_PACK_FLAG_PATH = os.environ.get(
+    "DGSPARSE_LANEPACK_FLAG",
+    os.path.expanduser("~/.cache/dgsparse_tpu/lanepack.json"))
+_LANE_PACK_FILE = [0]  # 0 = unread, None = absent/invalid, else bool
+
+
+def _lane_pack_file_flag():
+    if _LANE_PACK_FILE[0] == 0:
+        flag = None
+        try:
+            import json
+            with open(_LANE_PACK_FLAG_PATH) as fh:
+                flag = bool(json.load(fh)["pack_default"])
+        except Exception:
+            flag = None
+        _LANE_PACK_FILE[0] = flag
+    return _LANE_PACK_FILE[0]
+
+
+def record_lane_pack_default(pack_default: bool, meta: dict) -> None:
+    """Persist the measured lane-pack sign (guard test writes this)."""
+    import json
+    path = _LANE_PACK_FLAG_PATH
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump({"pack_default": bool(pack_default), **meta}, fh)
+    _LANE_PACK_FILE[0] = bool(pack_default)
+
+
 def _lane_pack_on(f: int) -> bool:
     v = _LANE_PACK[0]
     if f >= 128 or 128 % f != 0:
         return False
     if v is None:
-        return (128 // f >= 4 and jax.default_backend() == "tpu"
-                and not _INTERPRET)
+        ok = (128 // f >= 4 and jax.default_backend() == "tpu"
+              and not _INTERPRET)
+        if ok:
+            flag = _lane_pack_file_flag()
+            if flag is not None:
+                return flag
+        return ok
     return bool(v)
 
 
@@ -180,14 +221,23 @@ def _pad_feat(dense: jax.Array, w: int) -> jax.Array:
     return jnp.pad(dense, ((0, 0), (0, w - dense.shape[-1])))
 
 
-def _gather_ksum_packed(dense, cols, w, rb: int, k: int, out_dtype):
+def _gather_ksum_packed(dense, cols, w, rb: int, k: int, out_dtype,
+                        wp=None):
     """Packed gather + (w * gather).sum(K): cols/w [rb, k]. Returns
     [rb, f] with fp32 accumulation, or None when F doesn't pack (>= 128
     or not a divisor of 128). K is padded up to a multiple of the fold
     factor g = 128/F with zero-weight slots — the merged K ladder is not
     pow2 (p2p's big bucket is k=10), so without the pad 96 % of headline
     slots would fall back to the unpacked form. Pad slots gather row
-    cols[,-1] again (clip-mode take); w = 0 cancels them."""
+    cols[,-1] again (clip-mode take); w = 0 cancels them.
+
+    wp: optional PRE-EXPANDED packed weights [rb, k2/g, 128] (see
+    build_wp_np), a plan-time constant. Default-OFF (DGSPARSE_WP_CACHE):
+    the isolated probe showed 478 -> 345 us, but end-to-end through
+    spmm() it is a consistent 1.45x LOSS (964 vs 672 us) — the expanded
+    table is 128/g x wider than the raw weights, and XLA broadcasts the
+    in-graph repeat for free inside the gather-consumer fusion
+    (docs/BENCHMARKS.md §1c, 2026-08-19)."""
     f = dense.shape[-1]
     if f >= 128 or 128 % f != 0 or k == 0:
         return None
@@ -196,7 +246,8 @@ def _gather_ksum_packed(dense, cols, w, rb: int, k: int, out_dtype):
     if k2 != k:
         cols = jnp.pad(cols.reshape(rb, k), ((0, 0), (0, k2 - k)),
                        mode="edge")
-        w = jnp.pad(w, ((0, 0), (0, k2 - k)))
+        if wp is None:
+            w = jnp.pad(w, ((0, 0), (0, k2 - k)))
     # Flat gather, then reshape to packed 128-lane rows. (A batched-index
     # gather — cols.reshape(-1, g) producing [*, g, f] = native 128-lane
     # rows — measured FASTER in isolation (261 vs 332 us with the weight
@@ -207,10 +258,23 @@ def _gather_ksum_packed(dense, cols, w, rb: int, k: int, out_dtype):
     # [rb*k2, f] -> [rb, k2/g, g*f]: flat element order is unchanged, so
     # slot j of row r lands in group j//g at lanes (j%g)*f..(j%g+1)*f.
     gp = gathered.reshape(rb, k2 // g, g * f)
-    wp = jnp.repeat(w.reshape(rb, k2 // g, g), f, axis=2)
+    if wp is None:
+        wp = jnp.repeat(w.reshape(rb, k2 // g, g), f, axis=2)
     acc = (wp.astype(gp.dtype) * gp).sum(axis=1, dtype=jnp.float32)
     # fold the g sub-blocks of f lanes: a [rb, 128] pass (rows, not slots)
     return acc.reshape(rb, g, f).sum(axis=1).astype(out_dtype)
+
+
+def build_wp_np(w_flat: "np.ndarray", rb: int, k: int, f: int):
+    """Host-side pre-expansion of packed K-sum weights for one bucket:
+    [rb*k] flat slot weights -> [rb, k2/g, 128] with the exact pad/layout
+    contract of _gather_ksum_packed (K zero-padded to a multiple of
+    g = 128/f; lane l of group c holds w[row, c*g + l//f])."""
+    g = 128 // f
+    k2 = _round_up(k, g)
+    w2 = np.zeros((rb, k2), w_flat.dtype)
+    w2[:, :k] = w_flat.reshape(rb, k)
+    return np.repeat(w2.reshape(rb, k2 // g, g), f, axis=2)
 
 
 def _ell_recombine(plan, concat: jax.Array) -> jax.Array:
@@ -231,6 +295,7 @@ def spmm_ell(
     reduce: ReduceOp = ReduceOp.SUM,
     degrees: Optional[jax.Array] = None,
     w_slot: Optional[jax.Array] = None,
+    wp_slot: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Row-balance ELL SpMM (Algorithm.PALLAS_ROW_TILE): gather + masked
     K-step weighted sum — no segment reduction at all. XLA formulation (the
@@ -248,7 +313,7 @@ def spmm_ell(
     w_pad = _pack_pad_width(dense.shape[-1])
     if w_pad is not None:
         return spmm_ell(plan, values, _pad_feat(dense, w_pad), reduce,
-                        degrees, w_slot)[:, :dense.shape[-1]]
+                        degrees, w_slot, wp_slot)[:, :dense.shape[-1]]
     m, k = plan.cols.shape
     f = dense.shape[-1]
     if w_slot is not None:
@@ -263,9 +328,10 @@ def spmm_ell(
     # materialized [m,K,F] relayout — measured +195 us on p2p@F=32; the
     # elementwise form fuses with the gather). fp32 accumulation even for
     # bf16 inputs (K can reach 64K on hub rows).
-    def rows_out(cols, w, rb):
+    def rows_out(cols, w, rb, wp=None):
         if _lane_pack_on(f):
-            packed = _gather_ksum_packed(dense, cols, w, rb, k, dense.dtype)
+            packed = _gather_ksum_packed(dense, cols, w, rb, k,
+                                         dense.dtype, wp=wp)
             if packed is not None:
                 return packed
         gathered = jnp.take(dense, cols.reshape(-1), axis=0)
@@ -279,13 +345,15 @@ def spmm_ell(
     # guard spmm_bucketed_ell has; chunk boundaries are static).
     max_slots = max(_GATHER_BUDGET_BYTES // (4 * f), 1)
     if m * k <= max_slots:
-        out = rows_out(plan.cols, w, m)
+        out = rows_out(plan.cols, w, m, wp_slot)
     else:
         rows_per = max(max_slots // k, 1)
         out = jnp.concatenate(
             [rows_out(plan.cols[r0:min(r0 + rows_per, m)],
                       w[r0:min(r0 + rows_per, m)],
-                      min(r0 + rows_per, m) - r0)
+                      min(r0 + rows_per, m) - r0,
+                      None if wp_slot is None
+                      else wp_slot[r0:min(r0 + rows_per, m)])
              for r0 in range(0, m, rows_per)], axis=0)
     if reduce == ReduceOp.MEAN:
         if degrees is None:
@@ -396,18 +464,20 @@ def spmm_bucketed_ell(
     reduce: ReduceOp = ReduceOp.SUM,
     degrees: Optional[jax.Array] = None,
     w_slot: Optional[jax.Array] = None,
+    wp_slot: Optional[tuple] = None,
 ) -> jax.Array:
     """Degree-bucketed row-balance SpMM: per pow2-degree bucket, gather +
     masked K-step sum (no segment reduction); bucket outputs concatenate in
     bucket order and one row gather restores the original order. w_slot:
-    see spmm_ell."""
+    see spmm_ell. wp_slot: per-bucket tuple of pre-expanded packed weights
+    (build_wp_np), bucket_views order."""
     if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
         raise ValueError("spmm_bucketed_ell handles SUM/MEAN only")
     w_pad = _pack_pad_width(dense.shape[-1])
     if w_pad is not None:
         return spmm_bucketed_ell(
             plan, values, _pad_feat(dense, w_pad), reduce, degrees,
-            w_slot)[:, :dense.shape[-1]]
+            w_slot, wp_slot)[:, :dense.shape[-1]]
     f = dense.shape[-1]
     # Memory bound: the gather materializes [rb*k, F]; at Reddit scale
     # (115M edges, F=64) that is ~30 GB. Chunk each bucket's rows so one
@@ -416,10 +486,12 @@ def spmm_bucketed_ell(
     max_slots = max(_GATHER_BUDGET_BYTES // (4 * f), 1)
     outs = []
     o2 = 0
-    for cols, mask, eperm, _rows, _k in plan.bucket_views():
+    for bi, (cols, mask, eperm, _rows, _k) in \
+            enumerate(plan.bucket_views()):
         rb, k = cols.shape
+        wp_b = wp_slot[bi] if wp_slot is not None else None
 
-        def bucket_out(cols, mask, eperm, w_off, rb=rb, k=k):
+        def bucket_out(cols, mask, eperm, w_off, rb=rb, k=k, wp=None):
             if w_slot is not None:
                 w = jax.lax.slice(w_slot, (w_off,),
                                   (w_off + rb * k,)).reshape(rb, k)
@@ -431,7 +503,7 @@ def spmm_bucketed_ell(
                         w.dtype)
             if _lane_pack_on(f):
                 packed = _gather_ksum_packed(dense, cols, w, rb, k,
-                                             dense.dtype)
+                                             dense.dtype, wp=wp)
                 if packed is not None:
                     return packed
             # mul+sum, not einsum — see spmm_ell
@@ -441,14 +513,15 @@ def spmm_bucketed_ell(
                 axis=1, dtype=jnp.float32).astype(dense.dtype)
 
         if rb * k <= max_slots:
-            outs.append(bucket_out(cols, mask, eperm, o2))
+            outs.append(bucket_out(cols, mask, eperm, o2, wp=wp_b))
         else:
             rows_per = max(max_slots // k, 1)
             for r0 in range(0, rb, rows_per):
                 r1 = min(r0 + rows_per, rb)
                 outs.append(bucket_out(
                     cols[r0:r1], mask[r0:r1], eperm[r0:r1],
-                    o2 + r0 * k, rb=r1 - r0, k=k))
+                    o2 + r0 * k, rb=r1 - r0, k=k,
+                    wp=None if wp_b is None else wp_b[r0:r1]))
         o2 += rb * k
     out = _ell_recombine(plan, jnp.concatenate(outs, axis=0))
     if reduce == ReduceOp.MEAN:
@@ -609,6 +682,7 @@ def spmm_hybrid(
     degrees: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     w_slot=None,               # dict {"bell","ell","cells"} or None
+    wp_slot: Optional[tuple] = None,  # residue pre-expanded weights
 ) -> jax.Array:
     """Three-tier SpMM: materialized dense cells (block GEMM) + BELL
     one-hot MXU tiles + bucketed-ELL residue; all tiers are row-partitioned
@@ -635,7 +709,8 @@ def spmm_hybrid(
     dense_res = dense.astype(jnp.bfloat16) \
         if compute_dtype == jnp.bfloat16 else dense
     e = spmm_bucketed_ell(plan.ell, values, dense_res, ReduceOp.SUM,
-                          w_slot=w.get("ell")).astype(jnp.float32)
+                          w_slot=w.get("ell"),
+                          wp_slot=wp_slot).astype(jnp.float32)
     out = e if out is None else out + e
     if reduce == ReduceOp.MEAN:
         if degrees is None:

@@ -233,7 +233,7 @@ def _hybrid_sum_mean(sparse: SparseTensor, dense: jax.Array,
         idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
                st.csr2csc(), st.plan(), st.plan(transpose=True),
                st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan(),
-               st.csc_col(), vslot, st.mm_comp())
+               st.csc_col(), vslot, st.mm_comp(), st.mm_bwd())
         return smod._spmm(reduce, Algorithm.AUTO, has_value, idx, vals,
                           dense)
 

@@ -60,7 +60,7 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
     csc_col, vslot, mm_comp). vslot (dict or None) carries plan-slot-cached values
     (core/formats.py _build_vslot) — skips the per-call 1-D value gather."""
     (rowptr, col, coo_row, _, _, _, plan_fwd, _, bell_fwd, _,
-     ell_fwd, _, vslot, _) = idx
+     ell_fwd, _, vslot, _, _) = idx
     num_rows = rowptr.shape[0] - 1
     degrees = (rowptr[1:] - rowptr[:-1]) if reduce == ReduceOp.MEAN else None
     vals = values if has_value else None
@@ -80,15 +80,16 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
         w = vslot["ell"] if vslot is not None else None
+        wp = vslot.get("ell_p") if isinstance(vslot, dict) else None
         if isinstance(ell_fwd, HybridPlan):
             out = kp.spmm_hybrid(ell_fwd, vals, dense, reduce, degrees,
-                                 w_slot=w)
+                                 w_slot=w, wp_slot=wp)
         elif isinstance(ell_fwd, BucketedEllPlan):
             out = kp.spmm_bucketed_ell(ell_fwd, vals, dense, reduce,
-                                       degrees, w_slot=w)
+                                       degrees, w_slot=w, wp_slot=wp)
         else:
             out = kp.spmm_ell(ell_fwd, vals, dense, reduce, degrees,
-                              w_slot=w)
+                              w_slot=w, wp_slot=wp)
         return out.astype(dense.dtype), None
     if algorithm == Algorithm.PALLAS_BELL and bell_fwd is not None \
             and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
@@ -189,7 +190,7 @@ def _spmm_fwd(reduce, algorithm, has_value, idx, values, dense):
 def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
     idx, values, dense, arg_edge = residuals
     (rowptr, col, coo_row, colptr, row_csc, perm, plan_fwd, plan_bwd,
-     bell_fwd, bell_bwd, ell_fwd, csc_col, vslot, mm_comp) = idx
+     bell_fwd, bell_bwd, ell_fwd, csc_col, vslot, mm_comp, mm_bwd) = idx
     num_rows = rowptr.shape[0] - 1
     nnz = col.shape[0]
     if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
@@ -300,6 +301,59 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             else:
                 rbs, ks = (ell_fwd.num_rows,), (ell_fwd.k,)
                 g_cat = g32
+            if mm_bwd is not None and plan_bwd is not None:
+                # BWD-SLOT-SPACE formulation (round 4): the flat fwd-space
+                # path below materializes ~6 [slots, F] buffers (two
+                # jnp.repeat expansions, the winner mask, the fwd-col
+                # feats gather, contrib, and a random [slots, F]
+                # permutation gather through mm_comp). All of it collapses
+                # by evaluating the winner test directly at each bwd slot
+                # via plan-time index compositions (Storage.mm_bwd):
+                # rows/kidx give the fwd (bucket-concat row, K slot) of
+                # every bwd slot, so win = arg[row] == kidx — and the
+                # segment_matmul input is built in ONE pass. d_values'
+                # feats gather keys on the bwd plan's own segment rows,
+                # which are SORTED (CSC order) instead of random fwd cols.
+                valid_b = plan_bwd.eperm >= 0
+                rows_b = mm_bwd["rows"]
+                arg_rows = jnp.take(arg_edge, rows_b, axis=0)
+                win_b = jnp.logical_and(arg_rows == mm_bwd["kidx"][:, None],
+                                        valid_b[:, None])
+                g_win_b = jnp.where(win_b, jnp.take(g_cat, rows_b, axis=0),
+                                    0)
+                if has_value:
+                    rows_slot_b = (jnp.repeat(plan_bwd.tile_rb,
+                                              plan_bwd.edge_tile)
+                                   * plan_bwd.row_block + plan_bwd.lrow)
+                    safe_rows_b = jnp.minimum(rows_slot_b,
+                                              dense.shape[0] - 1)
+                    feats_b = jnp.take(dense, safe_rows_b,
+                                       axis=0).astype(jnp.float32)
+                    dv_b = jnp.sum(g_win_b * feats_b, axis=-1)
+                    d_values = jnp.take(dv_b, mm_bwd["epos"]).astype(
+                        values.dtype)
+                    v_b = (vslot["esc_t"] if isinstance(vslot, dict)
+                           and vslot.get("esc_t") is not None else None)
+                    if v_b is None:
+                        v_csc = jnp.take(values, perm)
+                        v_b = jnp.where(
+                            valid_b,
+                            jnp.take(v_csc,
+                                     jnp.maximum(plan_bwd.eperm, 0)), 0)
+                    csl = g_win_b * v_b[:, None].astype(jnp.float32)
+                else:
+                    d_values = jnp.zeros_like(values)
+                    csl = g_win_b
+                from dgsparse_tpu.kernels.pallas_spmm import segment_matmul
+
+                d_dense = segment_matmul(
+                    csl, plan_bwd.lrow, plan_bwd.tile_rb,
+                    plan_bwd.num_tiles, plan_bwd.edge_tile,
+                    plan_bwd.row_block,
+                    plan_bwd.num_row_blocks * plan_bwd.row_block,
+                )[:dense.shape[0]].astype(dense.dtype)
+                d_idx = jax.tree.map(_int_zero, idx)
+                return d_idx, d_values, d_dense
             flat_n = sum(rb * k for rb, k in zip(rbs, ks))
             adt = arg_edge.dtype
             reps = (jnp.full((rbs[0],), ks[0], jnp.int32)
@@ -483,10 +537,25 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
     # built with (identity check — set_values/tracers rebuild or clear them)
     vslot = st.vslot() if (not sparse.has_value
                            or values is st.values()) else None
+    if vslot is not None and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+        # pre-expanded packed K-sum weights (see Storage.wp_slot): built
+        # eagerly here, where the Python Storage object is reachable —
+        # inside the custom_vjp everything is a tracer and the expansion
+        # would be staged per call
+        from dgsparse_tpu.kernels.pallas_spmm import (_lane_pack_on,
+                                                      _pack_pad_width)
+
+        f = int(dense.shape[-1])
+        pw = _pack_pad_width(f)
+        f_eff = pw if pw is not None else f
+        if _lane_pack_on(f_eff):
+            wp = st.wp_slot(f_eff, dense.dtype)
+            if wp is not None:
+                vslot = dict(vslot, ell_p=wp)
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True),
            st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan(),
-           st.csc_col(), vslot, st.mm_comp())
+           st.csc_col(), vslot, st.mm_comp(), st.mm_bwd())
     return _spmm(reduce, algorithm, sparse.has_value, idx, values, dense)
 
 

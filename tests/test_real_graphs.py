@@ -68,6 +68,7 @@ def test_spmm_backward_on_real_graph(real_csr):
     from dgsparse_tpu.kernels import pallas_spmm as kp
 
     name, rowptr, col, vals, m, n = real_csr
+    prev_interpret = kp._INTERPRET
     kp.set_interpret(True)
     try:
         sp = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
@@ -83,7 +84,7 @@ def test_spmm_backward_on_real_graph(real_csr):
         gref = A.T @ np.asarray(ct)
         np.testing.assert_allclose(g, gref, rtol=1e-3, atol=1e-3)
     finally:
-        kp.set_interpret(False)
+        kp.set_interpret(prev_interpret)
 
 
 def test_plan_statistics_recorded(real_csr):
