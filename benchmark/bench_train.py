@@ -1,0 +1,147 @@
+"""End-to-end GCN training-step benchmark (VERDICT r3 #9): the
+reference's test_dgl.py:104-112 protocol — full fwd+bwd+adam update of a
+2-layer GCN under one jit — as a RECORDED benchmark with steps/s and an
+MFU/roofline estimate for the whole step, on Cora-shaped and
+arxiv-scale graphs (BASELINE.json's "full 2-layer GCN training step").
+
+Timing uses the two-point on-device protocol (utils.bench
+time_pytree_2pt) so the tunnel's per-dispatch latency cancels; the
+reference's wall-clock epoch loop is also reported for comparability
+with test_dgl.py.
+
+Run: python benchmark/bench_train.py [--quick]
+Writes benchmark/results_train.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dgsparse_tpu.utils.cache import enable
+
+enable()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+V5E_PEAK_FLOPS = 197e12     # bf16; fp32 MXU ~98 TF/s
+V5E_FP32_FLOPS = 98.5e12
+HBM_GBPS = 819.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+CONFIGS = [
+    # name, nodes, lognormal-mu-degree, in_feat, hidden, classes (cora:
+    # test_dgl.py trains 1433->16->7 on 2708 nodes / 10556 edges; the
+    # lognormal generator's realized mean is mu*exp(sigma^2/2), so mu is
+    # pre-divided to land near the real edge counts)
+    ("cora-shaped", 2708, 2.4, 1433, 16, 7),
+    ("arxiv-scale", 169_343, 4.2, 128, 256, 40),
+]
+
+
+def run_config(name, nodes, deg, in_feat, hidden, classes, epochs):
+    import optax
+
+    from dgsparse_tpu.nn import GCN, get_gcn_dcsr_from_edge_index
+    from dgsparse_tpu.utils.bench import time_pytree_2pt
+    from dgsparse_tpu.utils.testing import random_csr
+
+    rowptr, col, _ = random_csr(nodes, nodes, avg_degree=deg, seed=0,
+                                skew=1.0, with_empty_rows=False)
+    nnz = len(col)
+    coo_row = np.repeat(np.arange(nodes, dtype=np.int32), np.diff(rowptr))
+    adj = get_gcn_dcsr_from_edge_index(np.stack([coo_row, col]), nodes)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((nodes, in_feat)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, classes, nodes))
+
+    model = GCN(hidden_features=hidden, out_features=classes)
+    params = model.init(jax.random.key(0), x, adj)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply(p, x, adj)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # ---- reference-style wall-clock epochs (test_dgl.py:104-112)
+    import time
+
+    jit_step = jax.jit(step)
+    params2, opt2, loss = jit_step(params, opt_state)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    p, o = params2, opt2
+    for _ in range(epochs):
+        p, o, loss = jit_step(p, o)
+    jax.block_until_ready(loss)
+    wall = (time.perf_counter() - t0) / epochs
+    final_loss = float(loss)
+
+    # ---- two-point on-device step time (dispatch-latency-free)
+    dt = time_pytree_2pt(lambda p, o: step(p, o)[:2], (params, opt_state),
+                         iters=(10, 50), repeats=3)
+
+    # FLOP model for the full step: dense layers fwd 2*N*(Fin*H + H*C),
+    # SpMM fwd 2*nnz*(H + C); backward ~2x forward (dX + dW per matmul,
+    # d_dense + d_values per SpMM); adam update negligible.
+    dense_f = 2.0 * nodes * (in_feat * hidden + hidden * classes)
+    spmm_f = 2.0 * nnz * (hidden + classes)
+    step_flops = 3.0 * (dense_f + spmm_f)
+    mfu = step_flops / dt / V5E_FP32_FLOPS
+    # minimal HBM traffic: params+grads+adam state (4 passes of P) +
+    # activations fwd/bwd (~4 passes of N*(Fin+H+C)) + SpMM gathers
+    nbytes = 4 * (4 * sum(int(np.prod(v.shape))
+                          for v in jax.tree.leaves(params))
+                  + 4 * nodes * (in_feat + hidden + classes)
+                  + 4 * 2 * nnz * (hidden + classes) // 2)
+    hbm_frac = (nbytes / HBM_GBPS / 1e9) / dt
+    log(f"{name}: N={nodes} nnz={nnz} {in_feat}->{hidden}->{classes}  "
+        f"step {dt*1e3:.3f} ms ({1/dt:.1f} steps/s), wall "
+        f"{wall*1e3:.3f} ms/epoch, MFU {mfu*100:.2f}% fp32, "
+        f"~{hbm_frac*100:.1f}% HBM roofline, loss {final_loss:.4f}")
+    return {"config": name, "nodes": nodes, "nnz": int(nnz),
+            "dims": [in_feat, hidden, classes],
+            "step_ms": round(dt * 1e3, 3),
+            "steps_per_s": round(1 / dt, 2),
+            "wall_ms_per_epoch": round(wall * 1e3, 3),
+            "mfu_fp32_pct": round(mfu * 100, 2),
+            "hbm_roofline_pct": round(hbm_frac * 100, 1),
+            "final_loss": round(final_loss, 4),
+            "step_gflops": round(step_flops / dt / 1e9, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    rows = []
+    for cfg in CONFIGS:
+        if args.quick and cfg[1] > 10_000:
+            continue
+        rows.append(run_config(*cfg, epochs=20 if not args.quick else 5))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results_train.json")
+    with open(out, "w") as fh:
+        json.dump({"backend": jax.default_backend(), "rows": rows}, fh,
+                  indent=1)
+    log(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
