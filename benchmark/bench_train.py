@@ -39,32 +39,50 @@ def log(*a):
 
 
 CONFIGS = [
-    # name, nodes, lognormal-mu-degree, in_feat, hidden, classes (cora:
-    # test_dgl.py trains 1433->16->7 on 2708 nodes / 10556 edges; the
-    # lognormal generator's realized mean is mu*exp(sigma^2/2), so mu is
-    # pre-divided to land near the real edge counts)
-    ("cora-shaped", 2708, 2.4, 1433, 16, 7),
-    ("arxiv-scale", 169_343, 4.2, 128, 256, 40),
+    # name, nodes, lognormal-mu-degree, in_feat, hidden, classes, model
+    # (cora: test_dgl.py trains 1433->16->7 on 2708 nodes / 10556 edges;
+    # the lognormal generator's realized mean is mu*exp(sigma^2/2), so mu
+    # is pre-divided to land near the real edge counts. The GIN rows are
+    # the reference test_GIN.py protocol: 2-layer GIN, sum and max
+    # aggregators — max exercises the argmax-residual backward in a full
+    # training step.)
+    ("cora-shaped", 2708, 2.4, 1433, 16, 7, "gcn"),
+    ("arxiv-scale", 169_343, 4.2, 128, 256, 40, "gcn"),
+    ("cora-shaped-gin-sum", 2708, 2.4, 1433, 16, 7, "gin-sum"),
+    ("cora-shaped-gin-max", 2708, 2.4, 1433, 16, 7, "gin-max"),
+    ("arxiv-scale-gin-max", 169_343, 4.2, 128, 256, 40, "gin-max"),
 ]
 
 
-def run_config(name, nodes, deg, in_feat, hidden, classes, epochs):
+def run_config(name, nodes, deg, in_feat, hidden, classes, model_kind,
+               epochs):
     import optax
 
-    from dgsparse_tpu.nn import GCN, get_gcn_dcsr_from_edge_index
+    from dgsparse_tpu.nn import GCN, GIN, get_gcn_dcsr_from_edge_index
     from dgsparse_tpu.utils.bench import time_pytree_2pt
     from dgsparse_tpu.utils.testing import random_csr
 
     rowptr, col, _ = random_csr(nodes, nodes, avg_degree=deg, seed=0,
                                 skew=1.0, with_empty_rows=False)
     nnz = len(col)
-    coo_row = np.repeat(np.arange(nodes, dtype=np.int32), np.diff(rowptr))
-    adj = get_gcn_dcsr_from_edge_index(np.stack([coo_row, col]), nodes)
     rng = np.random.default_rng(1)
+    if model_kind == "gcn":
+        coo_row = np.repeat(np.arange(nodes, dtype=np.int32),
+                            np.diff(rowptr))
+        adj = get_gcn_dcsr_from_edge_index(np.stack([coo_row, col]), nodes)
+    else:
+        from dgsparse_tpu import SparseTensor
+
+        adj = SparseTensor.from_csr(jnp.asarray(rowptr), jnp.asarray(col),
+                                    None, sparse_sizes=(nodes, nodes))
     x = jnp.asarray(rng.standard_normal((nodes, in_feat)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, classes, nodes))
 
-    model = GCN(hidden_features=hidden, out_features=classes)
+    if model_kind == "gcn":
+        model = GCN(hidden_features=hidden, out_features=classes)
+    else:
+        model = GIN(hidden_features=hidden, out_features=classes,
+                    aggregator_type=model_kind.split("-")[1])
     params = model.init(jax.random.key(0), x, adj)
     tx = optax.adam(1e-2)
     opt_state = tx.init(params)

@@ -327,7 +327,34 @@ class Storage:
                     "kidx": jnp.asarray(k_b.astype(np.int32)),
                     "epos": jnp.asarray(epos.astype(np.int32)),
                 }
+        # slot-API transpose gather map (ops/slot._ell_t_gather_map):
+        # composed from _eperm_host, which is a HOST attribute that does
+        # not survive pytree flatten/unflatten — so build it eagerly here
+        # and carry it as a pytree child, or jitted slot chains crash on
+        # the reconstructed plan (AttributeError observed at reddit scale).
+        self._slot_gmap = None
+        from dgsparse_tpu.core.planner import HybridPlan as _HP
+
+        if isinstance(self._ell_fwd, _HP) \
+                and self._ell_fwd.ell_t is not None:
+            hp = self._ell_fwd
+            ep_t = getattr(hp.ell_t, "_eperm_host", None)
+            if ep_t is not None:
+                src = self._host_perm("_hybrid_edge_src", hp.edge_src)
+                cell_slots = (hp.cells.cell_slots
+                              if hp.cells is not None else 0)
+                pos = src[np.maximum(ep_t, 0)] - cell_slots
+                valid = ep_t >= 0
+                self._slot_gmap = (
+                    jnp.asarray(np.where(valid, pos, 0).astype(np.int32)),
+                    jnp.asarray(valid),
+                )
         self._vslot = self._build_vslot(values)
+
+    def slot_gmap(self):
+        """(gather_map, valid) for the slot-API transpose ELL (None when
+        the storage has no hybrid ell_t plan)."""
+        return getattr(self, "_slot_gmap", None)
 
     def mm_comp(self):
         """bwd-plan slot -> fwd ELL flat slot (None when unavailable)."""
@@ -601,6 +628,7 @@ class Storage:
             self._vslot,
             self._mm_comp,
             self._mm_bwd,
+            self._slot_gmap,
         )
         aux = (self._num_rows, self._num_cols, self._nnz, self._tune_key)
         return children, aux
@@ -625,6 +653,7 @@ class Storage:
             obj._vslot,
             obj._mm_comp,
             obj._mm_bwd,
+            obj._slot_gmap,
         ) = children
         obj._num_rows, obj._num_cols, obj._nnz, obj._tune_key = aux
         return obj
@@ -752,6 +781,7 @@ class SparseTensor:
         st._ell_fwd = src._ell_fwd
         st._mm_comp = src.mm_comp()
         st._mm_bwd = src.mm_bwd()
+        st._slot_gmap = src.slot_gmap()
         st._tune_key = src._tune_key
         st._num_rows, st._num_cols, st._nnz = (
             src._num_rows,
@@ -795,6 +825,7 @@ class SparseTensor:
         st._ell_fwd = None
         st._mm_comp = None  # fwd ELL plan not carried over
         st._mm_bwd = None
+        st._slot_gmap = None
         st._vslot = st._build_vslot(vals)
         st._tune_key = None  # transposed structure: tuned entries don't map
         st._num_rows, st._num_cols = src._num_cols, src._num_rows

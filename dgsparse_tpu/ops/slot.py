@@ -132,7 +132,13 @@ def _bell_rows_cols(bell, num_rows, num_cols):
 def _ell_t_gather_map(st, hp):
     """Static [ell_t_slots] map from transpose-ELL slot to position in the
     concatenated [bell ++ ell] forward stream (cells edges never appear in
-    ell_t), plus the validity mask. Host-composed once per structure."""
+    ell_t), plus the validity mask. Composed once per structure at
+    construction (Storage.slot_gmap, a pytree child — the host-attr
+    composition below does NOT survive jit's flatten/unflatten and crashed
+    jitted chains at reddit scale before round 4)."""
+    cached = st.slot_gmap() if hasattr(st, "slot_gmap") else None
+    if cached is not None:
+        return cached
     ep_t = hp.ell_t._eperm_host
     src = st._host_perm("_hybrid_edge_src", hp.edge_src)
     cell_slots = hp.cells.cell_slots if hp.cells is not None else 0

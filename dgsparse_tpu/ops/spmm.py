@@ -316,11 +316,22 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
                 # which are SORTED (CSC order) instead of random fwd cols.
                 valid_b = plan_bwd.eperm >= 0
                 rows_b = mm_bwd["rows"]
-                arg_rows = jnp.take(arg_edge, rows_b, axis=0)
+                # ONE fused gather for (g, arg): the row gather is
+                # issue-bound (flat per-row cost through 512 B rows, §5
+                # of BENCHMARKS), so gathering a [CR, 2F] concat costs
+                # the same per row as either [CR, F] table alone — the
+                # int32 argmax rides bitcast as f32 lanes.
+                f_w = g_cat.shape[-1]
+                comb = jnp.concatenate(
+                    [g_cat,
+                     jax.lax.bitcast_convert_type(
+                         arg_edge.astype(jnp.int32), jnp.float32)], axis=1)
+                comb_rows = jnp.take(comb, rows_b, axis=0)
+                arg_rows = jax.lax.bitcast_convert_type(
+                    comb_rows[:, f_w:], jnp.int32)
                 win_b = jnp.logical_and(arg_rows == mm_bwd["kidx"][:, None],
                                         valid_b[:, None])
-                g_win_b = jnp.where(win_b, jnp.take(g_cat, rows_b, axis=0),
-                                    0)
+                g_win_b = jnp.where(win_b, comb_rows[:, :f_w], 0)
                 if has_value:
                     rows_slot_b = (jnp.repeat(plan_bwd.tile_rb,
                                               plan_bwd.edge_tile)

@@ -216,3 +216,30 @@ def test_public_entry_dispatch():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_mh[:, 1]), np.asarray(r1),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kind", ["ell", "hybrid"])
+def test_chain_under_jit_with_sparse_argument(kind):
+    """The full slot chain jitted with the SparseTensor as a traced
+    ARGUMENT (the production/bench shape): plan objects are rebuilt by
+    tree_unflatten inside the trace, so anything the ops need must be a
+    pytree child — regression for the _eperm_host AttributeError the
+    reddit-scale bench hit (Storage.slot_gmap now carries the transpose
+    gather map)."""
+    import jax
+
+    sp, rowptr, col, d1, d2 = (make_ell(23) if kind == "ell"
+                               else make_hybrid(23))
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.standard_normal(
+        (sp.sparse_sizes()[1], d1.shape[1])).astype(np.float32))
+
+    @jax.jit
+    def chain(d1, d2, x, spa):
+        sv = sddmm_slots(spa, d1, d2)
+        return spmm_slots(spa, edge_softmax_slots(spa, sv), x)
+
+    got = chain(jnp.asarray(d1), jnp.asarray(d2), x, sp)
+    ref = chain.__wrapped__(jnp.asarray(d1), jnp.asarray(d2), x, sp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
