@@ -340,7 +340,9 @@ class Storage:
             hp = self._ell_fwd
             ep_t = getattr(hp.ell_t, "_eperm_host", None)
             if ep_t is not None:
-                src = self._host_perm("_hybrid_edge_src", hp.edge_src)
+                src = getattr(hp, "_edge_src_host", None)
+                if src is None:
+                    src = self._host_perm("_hybrid_edge_src", hp.edge_src)
                 cell_slots = (hp.cells.cell_slots
                               if hp.cells is not None else 0)
                 pos = src[np.maximum(ep_t, 0)] - cell_slots

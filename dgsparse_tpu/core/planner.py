@@ -790,9 +790,14 @@ def build_hybrid_plan(
     valid = np.nonzero(ep_flat >= 0)[0]
     src[ep_flat[valid]] = off + valid.astype(np.int32)
     _bt.lap("edge_src assembly")
-    return HybridPlan(bell=bell, ell=ell, cells=cells, ell_t=ell_t,
-                      edge_src=jnp.asarray(src), num_rows=m,
-                      num_cols=num_cols, nnz=nnz)
+    hp = HybridPlan(bell=bell, ell=ell, cells=cells, ell_t=ell_t,
+                    edge_src=jnp.asarray(src), num_rows=m,
+                    num_cols=num_cols, nnz=nnz)
+    # host twin: Storage composes slot_gmap from this at construction —
+    # a device_get of the 115M-element device copy through the axon
+    # tunnel costs minutes (observed: 431 s vs 26.5 s from_csr)
+    hp._edge_src_host = src
+    return hp
 
 
 @jax.tree_util.register_pytree_node_class

@@ -186,6 +186,12 @@ def _lane_pack_on(f: int) -> bool:
     v = _LANE_PACK[0]
     if f >= 128 or 128 % f != 0:
         return False
+    if 128 // f < 4 and jax.default_backend() == "tpu" and not _INTERPRET:
+        # g=2 fold (F=64) miscompiles on real TPU (relerr 2.4e-1 observed
+        # on a reddit-scale hybrid plan, 2026-08-19; correct under
+        # interpret) and measured a perf LOSS anyway — refuse even when
+        # forced so set_lane_pack(True) can't silently corrupt results.
+        return False
     if v is None:
         ok = (128 // f >= 4 and jax.default_backend() == "tpu"
               and not _INTERPRET)
