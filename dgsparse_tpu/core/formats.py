@@ -188,6 +188,7 @@ class Storage:
         self._bell_fwd = None
         self._bell_bwd = None
         self._ell_fwd = None
+        self._ell_chunked = None
         # build_plans=False skips all Pallas plan construction: ops run on
         # the XLA segment paths with only CSR+CSC resident (~half the device
         # memory per edge — the Reddit-scale lever; plans cost ~21 B/edge).
@@ -235,12 +236,15 @@ class Storage:
                         and max_deg * num_rows / nnz <= 1.5:
                     self._ell_fwd = build_ell_plan(rowptr_np, col_np,
                                                    num_cols)
+                    self._ell_fwd._sub_csr_host = (rowptr_np, col_np,
+                                                   None)
                 if self._ell_fwd is None:
                     bek = build_bucketed_ell_plan(rowptr_np, col_np,
                                                   num_cols)
                     # flat plan layout: many buckets are cheap (3
                     # device arrays regardless of bucket count)
                     if bek.pad_ratio() <= 2.0 and len(bek.ks) <= 64:
+                        bek._sub_csr_host = (rowptr_np, col_np, None)
                         self._ell_fwd = bek
             # sort_cols=False keeps plan slots in CSR (row-major) order so
             # one plan serves sum/mean (order-independent one-hot) AND
@@ -351,7 +355,153 @@ class Storage:
                     jnp.asarray(np.where(valid, pos, 0).astype(np.int32)),
                     jnp.asarray(valid),
                 )
+        # Column-chunked gather variant (see planner.ColChunkedEllPlan):
+        # built EAGERLY (with an F=64/fp32 table-size guess) so it is a
+        # pytree CHILD — jitted training steps that take the SparseTensor
+        # as an ARGUMENT reconstruct the Storage via tree_unflatten, where
+        # host-side attributes (and thus lazy building) are gone.
+        self._maybe_build_chunked()
         self._vslot = self._build_vslot(values)
+
+    # table-size guess for the eager chunked build: F=64 fp32 rows
+    _CHUNK_F_GUESS_BYTES = 256
+    _CHUNK_SLICE_TARGET = 4 << 20    # fast-regime slice size (measured)
+    _CHUNK_TABLE_MIN = 24 << 20      # below this the flat gather is fast
+    _CHUNK_MIN_EDGES = 1 << 20
+
+    @staticmethod
+    def _chunk_count(table_rows: int, row_bytes: int, nnz_part: int,
+                     forced: "int | None",
+                     out_rows: "int | None" = None) -> "int | None":
+        """nchunks for a gather table of table_rows x row_bytes, or None
+        when chunking isn't worth it. Three measured gates:
+        small tables gather fast flat (probe_gather_tablesize: the
+        >16 MB cliff); few edges can't amortize anything; and the
+        per-chunk [out_rows, F] partial accumulation costs ~row_bytes *
+        out_rows at ~150 GB/s effective per chunk (probe_chunked, arxiv:
+        +275 us/chunk) while the gather saving is at most ~8 ns/edge —
+        power-law locality often makes the flat gather faster than the
+        uniform-random cliff, so require edges >= nchunks * out_rows
+        (saving >= ~2x worst-case partial cost at F=64)."""
+        if forced is not None:
+            return forced if forced > 1 else None
+        table = table_rows * row_bytes
+        if table <= Storage._CHUNK_TABLE_MIN \
+                or nnz_part < Storage._CHUNK_MIN_EDGES:
+            return None
+        n = -(-table // Storage._CHUNK_SLICE_TARGET)
+        p = 1
+        while p < n:
+            p *= 2
+        p = max(2, min(p, 64))
+        if out_rows is not None and nnz_part < p * out_rows:
+            return None
+        return p
+
+    def _maybe_build_chunked(self, row_bytes: "int | None" = None) -> None:
+        """Build (or rebuild at a different granularity) the column-
+        chunked variant of the ELL/hybrid-residue plan. Requires the
+        host-side sub-CSR twins stashed at plan construction — silently a
+        no-op when they are absent (e.g. inside tree_unflatten'd copies)."""
+        import dataclasses as _dc
+
+        env = os.environ.get("DGSPARSE_CHUNKED_GATHER", "")
+        if env == "0":
+            self._ell_chunked = None
+            return
+        forced = int(env) if env not in ("", "auto") else None
+        if row_bytes is None:
+            row_bytes = self._CHUNK_F_GUESS_BYTES
+        ell = self._ell_fwd
+        if ell is None:
+            return
+        from dgsparse_tpu.core.planner import (BucketedEllPlan, EllPlan,
+                                               HybridPlan,
+                                               build_col_chunked_ell_plan)
+
+        if isinstance(ell, HybridPlan):
+            host = getattr(ell.ell, "_sub_csr_host", None)
+            if host is None:
+                return
+            n1 = self._chunk_count(self._num_cols, row_bytes, ell.ell.nnz,
+                                   forced, out_rows=self._num_rows)
+            if n1 is None:
+                return
+            cur = self._ell_chunked
+            # within-2x granularity is close enough — don't thrash plans
+            if cur is not None and n1 // 2 <= cur.ell.nchunks <= n1 * 2:
+                return
+            rp, cc, ids = host
+            ce = build_col_chunked_ell_plan(rp, cc, self._num_cols, n1,
+                                            gids=ids)
+            if ce.pad_ratio() > max(2.5, 1.6 * ell.ell.pad_ratio()):
+                return
+            ct = None
+            hostt = (getattr(ell.ell_t, "_sub_csr_host", None)
+                     if ell.ell_t is not None else None)
+            if hostt is not None:
+                n2 = self._chunk_count(self._num_rows, row_bytes,
+                                       ell.ell_t.nnz, forced,
+                                       out_rows=self._num_cols)
+                if n2 is not None:
+                    rp_t, cc_t, ids_t = hostt
+                    c2 = build_col_chunked_ell_plan(
+                        rp_t, cc_t, self._num_rows, n2, gids=ids_t)
+                    if c2.pad_ratio() <= max(2.5,
+                                             1.6 * ell.ell_t.pad_ratio()):
+                        ct = c2
+            self._ell_chunked = _dc.replace(
+                ell, ell=ce, ell_t=(ct if ct is not None else ell.ell_t))
+            self._refresh_vslot_after_chunk_rebuild()
+        elif isinstance(ell, (BucketedEllPlan, EllPlan)):
+            host = getattr(ell, "_sub_csr_host", None)
+            if host is None:
+                return
+            n1 = self._chunk_count(self._num_cols, row_bytes, ell.nnz,
+                                   forced, out_rows=self._num_rows)
+            if n1 is None:
+                return
+            cur = self._ell_chunked
+            if cur is not None and n1 // 2 <= cur.nchunks <= n1 * 2:
+                return
+            rp, cc, ids = host
+            ce = build_col_chunked_ell_plan(rp, cc, self._num_cols, n1,
+                                            gids=ids)
+            base_pad = ell.pad_ratio() if isinstance(ell, BucketedEllPlan) \
+                else 1.0
+            if ce.pad_ratio() > max(2.5, 1.6 * base_pad):
+                return
+            self._ell_chunked = ce
+            self._refresh_vslot_after_chunk_rebuild()
+
+    def _refresh_vslot_after_chunk_rebuild(self) -> None:
+        """A chunked-plan rebuild (granularity change) invalidates the
+        chunked slot-value caches — rebuild the whole vslot dict. No-op
+        during __init__ (vslot not built yet) or for traced values."""
+        if getattr(self, "_vslot", None) is not None:
+            self._vslot = self._build_vslot(self._values)
+
+    def ell_chunked(self, f: "int | None" = None,
+                    itemsize: "int | None" = None):
+        """The column-chunked ELL/hybrid variant for a gather table of
+        [num_cols, f] x itemsize, or None. Rebuilds at a better
+        granularity when the host twins are available and the built
+        nchunks is >2x off; inside jit (host data gone) returns whatever
+        was built eagerly, provided its slices still dodge the slow-gather
+        regime for this table."""
+        cp = self._ell_chunked
+        if f is not None and itemsize is not None:
+            rb = f * itemsize
+            # cheap no-op when the host sub-CSR twins are gone (jit copies)
+            self._maybe_build_chunked(row_bytes=rb)
+            cp = self._ell_chunked
+            if cp is not None:
+                from dgsparse_tpu.core.planner import HybridPlan
+
+                ce = cp.ell if isinstance(cp, HybridPlan) else cp
+                if ce.chunk_size * rb > (16 << 20):
+                    return None       # slices land in the slow regime
+        return cp
 
     def slot_gmap(self):
         """(gather_map, valid) for the slot-API transpose ELL (None when
@@ -514,9 +664,14 @@ class Storage:
                 np.where(ep >= 0, v[np.maximum(ep, 0)], 0).astype(v.dtype))
 
         ell_w = None
+        ell_cw = None
         if self._ell_fwd is not None:
-            from dgsparse_tpu.core.planner import (HybridPlan,
+            from dgsparse_tpu.core.planner import (ColChunkedEllPlan,
+                                                   HybridPlan,
                                                    materialize_cells_np)
+
+            def chunked_slotw(cplan, v):
+                return tuple(slotw(s, v) for s in cplan.subs)
 
             if isinstance(self._ell_fwd, HybridPlan):
                 hp = self._ell_fwd
@@ -530,10 +685,20 @@ class Storage:
                     "ell_t": (slotw(hp.ell_t, vals_np)
                               if hp.ell_t is not None else None),
                 }
+                cp = getattr(self, "_ell_chunked", None)
+                if cp is not None:
+                    if isinstance(cp.ell, ColChunkedEllPlan):
+                        ell_w["ell_c"] = chunked_slotw(cp.ell, vals_np)
+                    if isinstance(cp.ell_t, ColChunkedEllPlan):
+                        ell_w["ell_t_c"] = chunked_slotw(cp.ell_t, vals_np)
             else:
                 ell_w = slotw(self._ell_fwd, vals_np)
+                cp = getattr(self, "_ell_chunked", None)
+                if isinstance(cp, ColChunkedEllPlan):
+                    ell_cw = chunked_slotw(cp, vals_np)
         return {
             "ell": ell_w,
+            "ell_c": ell_cw,
             "esc": (slotw(self._plan_fwd, vals_np)
                     if self._plan_fwd is not None else None),
             "esc_t": (slotw(self._plan_bwd, vals_csc)
@@ -627,6 +792,7 @@ class Storage:
             self._bell_fwd,
             self._bell_bwd,
             self._ell_fwd,
+            self._ell_chunked,
             self._vslot,
             self._mm_comp,
             self._mm_bwd,
@@ -652,6 +818,7 @@ class Storage:
             obj._bell_fwd,
             obj._bell_bwd,
             obj._ell_fwd,
+            obj._ell_chunked,
             obj._vslot,
             obj._mm_comp,
             obj._mm_bwd,
@@ -781,6 +948,7 @@ class SparseTensor:
         st._plan_fwd, st._plan_bwd = src._plan_fwd, src._plan_bwd
         st._bell_fwd, st._bell_bwd = src._bell_fwd, src._bell_bwd
         st._ell_fwd = src._ell_fwd
+        st._ell_chunked = src._ell_chunked
         st._mm_comp = src.mm_comp()
         st._mm_bwd = src.mm_bwd()
         st._slot_gmap = src.slot_gmap()

@@ -441,6 +441,98 @@ def build_bucketed_ell_plan(rowptr: np.ndarray, col: np.ndarray,
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class ColChunkedEllPlan:
+    """Column-chunked bucketed ELL: the dense gather table (B in the
+    forward, the cotangent g in the transpose) is split into row ranges of
+    `chunk_size`, and each chunk's edges get their own BucketedEllPlan
+    with chunk-LOCAL column ids. Each chunk gathers from a `lax.slice` of
+    the table and produces a [M, F] partial that accumulates into the
+    output — sums are order-invariant, so no cross-chunk permutation is
+    ever materialized.
+
+    Why (measured, benchmark/probe_gather_tablesize.py, TPU v5e): the XLA
+    random row gather issues at ~2.1–2.7 ns/row while the gathered table
+    is ≲16 MB but ~10.6 ns/row beyond; slicing a 64 MB table into 4 MB
+    chunks restores the fast regime (2.09 ns/row measured INCLUDING the
+    extra assembly). Reference analog: the row-caching staging trick of
+    `src/ge-spmm/csrspmm_rowcaching.cu:50-71` — restructure the dense-
+    operand access for locality; here it happens at plan time because TPU
+    has no per-warp scratchpad to stage into at run time."""
+
+    subs: tuple        # one BucketedEllPlan per chunk (pytree children);
+                       # eperm entries are ORIGINAL (global) edge ids
+    chunk_size: int    # table rows per chunk (last chunk may be short)
+    num_rows: int
+    num_cols: int      # total table rows = sum of chunk extents
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.subs,), (self.chunk_size, self.num_rows,
+                              self.num_cols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @property
+    def nchunks(self) -> int:
+        return len(self.subs)
+
+    def pad_ratio(self) -> float:
+        tot = sum(sum(rb * k for rb, k in zip(s.rbs, s.ks))
+                  for s in self.subs)
+        return tot / max(self.nnz, 1)
+
+
+def build_col_chunked_ell_plan(rowptr: np.ndarray, col: np.ndarray,
+                               num_cols: int, nchunks: int,
+                               gids: "np.ndarray | None" = None
+                               ) -> ColChunkedEllPlan:
+    """Partition the CSR's edges by `col // chunk_size` (a stable counting
+    sort, so row-major order is preserved inside each chunk) and build a
+    BucketedEllPlan per chunk over chunk-local column ids. `gids` maps
+    this sub-CSR's edge positions to original edge ids (identity if None)
+    — the per-chunk eperm is remapped so `values` gathers stay global."""
+    rowptr = np.asarray(rowptr)
+    col = np.asarray(col)
+    m = len(rowptr) - 1
+    nnz = len(col)
+    cs = max(-(-num_cols // max(nchunks, 1)), 1)
+    nchunks = -(-num_cols // cs)
+    chunk_of = col.astype(np.int64) // cs
+    order = np.argsort(chunk_of, kind="stable")
+    bounds = np.searchsorted(chunk_of[order], np.arange(nchunks + 1))
+    deg = np.diff(rowptr).astype(np.int64)
+    row_of = np.repeat(np.arange(m, dtype=np.int32), deg)
+    subs = []
+    for c in range(nchunks):
+        sel = order[bounds[c]:bounds[c + 1]]
+        sub_col = (col[sel] - c * cs).astype(np.int32)
+        counts = np.bincount(row_of[sel], minlength=m)
+        sub_rowptr = np.zeros(m + 1, np.int64)
+        np.cumsum(counts, out=sub_rowptr[1:])
+        sub = build_bucketed_ell_plan(
+            sub_rowptr, sub_col, min(cs, num_cols - c * cs))
+        ep = sub._eperm_host
+        if len(sel):
+            loc = sel.astype(np.int32) if gids is None \
+                else np.asarray(gids)[sel].astype(np.int32)
+            ep = np.where(ep >= 0, loc[np.maximum(ep, 0)],
+                          -1).astype(np.int32)
+            sub.eperm = jnp.asarray(ep)
+            sub._eperm_host = ep
+        # the chunk-local `inv` (edge -> slot) has no consumer here (the
+        # max/min argmax machinery never runs on chunked plans) — drop the
+        # device copy to save nnz*4 bytes of HBM + tunnel transfer
+        sub.inv = jnp.zeros((0,), jnp.int32)
+        sub._inv_host = None
+        subs.append(sub)
+    return ColChunkedEllPlan(subs=tuple(subs), chunk_size=cs,
+                             num_rows=m, num_cols=num_cols, nnz=nnz)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class DenseCellPlan:
     """Truly dense (128-row x 128-col) cells MATERIALIZED as dense blocks:
     SpMM over them is a plain block-sparse matmul out[rb] += cell @ B[cw] —
@@ -739,6 +831,9 @@ def build_hybrid_plan(
     ep = np.where(ep >= 0, e_ids[np.maximum(ep, 0)], -1).astype(np.int32)
     ell.eperm = jnp.asarray(ep)
     ell._eperm_host = ep
+    # sub-CSR host twin: lets Storage build the column-chunked residue
+    # variant (ColChunkedEllPlan) without re-deriving the residue edge set
+    ell._sub_csr_host = (e_rowptr, e_col, e_ids)
     # residual inv maps original edge -> flat ELL slot; only meaningful
     # for residue edges (dense edges keep 0 — never read)
     inv = np.zeros(nnz, np.int32)
@@ -773,6 +868,8 @@ def build_hybrid_plan(
                   -1).astype(np.int32)
     ell_t.eperm = jnp.asarray(tp)
     ell_t._eperm_host = tp
+    ell_t._sub_csr_host = (colptr_t, row_t,
+                           nd_ids[perm_t].astype(np.int32))
     _bt.lap("transpose bucketed ELL")
 
     # SDDMM assembly permutation (see HybridPlan.edge_src)

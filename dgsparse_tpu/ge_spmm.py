@@ -64,11 +64,25 @@ class SpMatCsrDescr_t:  # noqa: N801 — reference-parity name
     indptr: jax.Array
     indices: jax.Array
     data: Optional[jax.Array] = None
+    # memoized SparseTensor (plans built once per descriptor, not per
+    # call; also lets gespmmCsrSpMM run under jit, where plan building
+    # is impossible — construction needs host-side index data)
+    _sp: Optional[SparseTensor] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     def to_sparse_tensor(self) -> SparseTensor:
-        return SparseTensor.from_csr(
-            self.indptr, self.indices, self.data,
-            sparse_sizes=(self.nrow, self.ncol))
+        if self._sp is None:
+            if isinstance(jnp.asarray(0) + 0, jax.core.Tracer):
+                raise RuntimeError(
+                    "SpMatCsrDescr_t.to_sparse_tensor() first called "
+                    "inside jit: plan construction needs host index "
+                    "data. Call gespmmCsrSpMM (or to_sparse_tensor) "
+                    "once eagerly; subsequent jitted calls reuse the "
+                    "memoized SparseTensor.")
+            self._sp = SparseTensor.from_csr(
+                self.indptr, self.indices, self.data,
+                sparse_sizes=(self.nrow, self.ncol))
+        return self._sp
 
 
 def gespmmAlgSel(dense_ncol: int, transpose: bool = True) -> GespmmAlg:  # noqa: N802
@@ -109,7 +123,12 @@ def spmm_cuda_no_edge_value(sp_descr: SpMatCsrDescr_t,
                             B: jax.Array) -> jax.Array:
     """Legacy alias, values treated as implicit ones
     (src/ge-spmm/gespmm.h:72-82)."""
-    d = dataclasses.replace(sp_descr, data=None)
+    if sp_descr.data is None:
+        return gespmmCsrSpMM(sp_descr, B, GespmmAlg.DEFAULT)
+    d = getattr(sp_descr, "_no_value_twin", None)
+    if d is None:
+        d = dataclasses.replace(sp_descr, data=None, _sp=None)
+        sp_descr._no_value_twin = d
     return gespmmCsrSpMM(d, B, GespmmAlg.DEFAULT)
 
 

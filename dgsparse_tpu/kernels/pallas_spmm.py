@@ -537,6 +537,45 @@ def spmm_bucketed_ell(
     return out
 
 
+def spmm_col_chunked_ell(
+    plan,                       # core.planner.ColChunkedEllPlan
+    values: Optional[jax.Array],
+    dense: jax.Array,
+    reduce: ReduceOp = ReduceOp.SUM,
+    degrees: Optional[jax.Array] = None,
+    w_slot: Optional[tuple] = None,
+) -> jax.Array:
+    """Column-chunked row-balance SpMM: each chunk gathers from a static
+    `lax.slice` of the dense table (keeping every gather's table ≲4 MB —
+    the v5e fast-gather regime, see ColChunkedEllPlan) and contributes a
+    [M, F] partial sum. w_slot: per-chunk tuple of flat slot-ordered value
+    arrays (Storage vslot 'ell_c' entries)."""
+    if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
+        raise ValueError("spmm_col_chunked_ell handles SUM/MEAN only")
+    f = dense.shape[-1]
+    cs = plan.chunk_size
+    out = None
+    for c, sub in enumerate(plan.subs):
+        if sub.nnz == 0:
+            continue
+        lo = c * cs
+        hi = min(lo + cs, plan.num_cols)
+        dsl = jax.lax.slice(dense, (lo, 0), (hi, f))
+        wc = w_slot[c] if w_slot is not None else None
+        # accumulate partials in f32 (bf16 chunk sums would round per
+        # chunk; XLA fuses the cast into the add chain)
+        part = spmm_bucketed_ell(sub, values, dsl, ReduceOp.SUM,
+                                 w_slot=wc).astype(jnp.float32)
+        out = part if out is None else out + part
+    if out is None:
+        return jnp.zeros((plan.num_rows, f), dense.dtype)
+    if reduce == ReduceOp.MEAN:
+        if degrees is None:
+            raise ValueError("degrees required for MEAN")
+        out = out / jnp.maximum(degrees, 1).astype(out.dtype)[:, None]
+    return out.astype(dense.dtype)
+
+
 def materialize_cells(plan, values: Optional[jax.Array]) -> jax.Array:
     """In-graph dense-cell materialization (traced-values path): one sorted
     1-D segment-sum of the dense-tier edge values into the flat cell slots.
@@ -672,10 +711,18 @@ def spmm_hybrid_t(
         out = spmm_dense_cells(plan.cells, cells, g, transpose=True,
                                compute_dtype=compute_dtype)
     if plan.ell_t is not None:
+        from dgsparse_tpu.core.planner import ColChunkedEllPlan
+
         g_res = g.astype(jnp.bfloat16) \
             if compute_dtype == jnp.bfloat16 else g
-        e = spmm_bucketed_ell(plan.ell_t, values, g_res,
-                              w_slot=w.get("ell_t")).astype(jnp.float32)
+        if isinstance(plan.ell_t, ColChunkedEllPlan):
+            e = spmm_col_chunked_ell(
+                plan.ell_t, values, g_res,
+                w_slot=w.get("ell_t_c")).astype(jnp.float32)
+        else:
+            e = spmm_bucketed_ell(
+                plan.ell_t, values, g_res,
+                w_slot=w.get("ell_t")).astype(jnp.float32)
         out = e if out is None else out + e
     return out
 
@@ -714,9 +761,16 @@ def spmm_hybrid(
     # ~2x the fp32 gather rate (accumulation stays fp32 in the K-sum)
     dense_res = dense.astype(jnp.bfloat16) \
         if compute_dtype == jnp.bfloat16 else dense
-    e = spmm_bucketed_ell(plan.ell, values, dense_res, ReduceOp.SUM,
-                          w_slot=w.get("ell"),
-                          wp_slot=wp_slot).astype(jnp.float32)
+    from dgsparse_tpu.core.planner import ColChunkedEllPlan
+
+    if isinstance(plan.ell, ColChunkedEllPlan):
+        e = spmm_col_chunked_ell(
+            plan.ell, values, dense_res, ReduceOp.SUM,
+            w_slot=w.get("ell_c")).astype(jnp.float32)
+    else:
+        e = spmm_bucketed_ell(plan.ell, values, dense_res, ReduceOp.SUM,
+                              w_slot=w.get("ell"),
+                              wp_slot=wp_slot).astype(jnp.float32)
     out = e if out is None else out + e
     if reduce == ReduceOp.MEAN:
         if degrees is None:

@@ -76,7 +76,9 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
                    cached_values=vslot is not None)
     if algorithm == Algorithm.PALLAS_ROW_TILE and ell_fwd is not None \
             and reduce in (ReduceOp.SUM, ReduceOp.MEAN):
-        from dgsparse_tpu.core.planner import BucketedEllPlan, HybridPlan
+        from dgsparse_tpu.core.planner import (BucketedEllPlan,
+                                               ColChunkedEllPlan,
+                                               HybridPlan)
         from dgsparse_tpu.kernels import pallas_spmm as kp
 
         w = vslot["ell"] if vslot is not None else None
@@ -84,6 +86,10 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
         if isinstance(ell_fwd, HybridPlan):
             out = kp.spmm_hybrid(ell_fwd, vals, dense, reduce, degrees,
                                  w_slot=w, wp_slot=wp)
+        elif isinstance(ell_fwd, ColChunkedEllPlan):
+            wc = vslot.get("ell_c") if isinstance(vslot, dict) else None
+            out = kp.spmm_col_chunked_ell(ell_fwd, vals, dense, reduce,
+                                          degrees, w_slot=wc)
         elif isinstance(ell_fwd, BucketedEllPlan):
             out = kp.spmm_bucketed_ell(ell_fwd, vals, dense, reduce,
                                        degrees, w_slot=w, wp_slot=wp)
@@ -149,7 +155,8 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
     if algorithm != Algorithm.AUTO:
         return algorithm
     if jax.default_backend() == "tpu" and nnz >= 4096:
-        from dgsparse_tpu.core.planner import (BucketedEllPlan, EllPlan,
+        from dgsparse_tpu.core.planner import (BucketedEllPlan,
+                                               ColChunkedEllPlan, EllPlan,
                                                HybridPlan)
 
         # hybrid (dense cells -> BELL MXU + residue ELL) first: it only
@@ -162,7 +169,11 @@ def _resolve_algorithm(algorithm: Algorithm, plan, bell, nnz: int,
         # up to pad ~1.9 (two sessions) — gate at 2.0.
         if isinstance(ell, EllPlan) or (
                 isinstance(ell, BucketedEllPlan)
-                and ell.pad_ratio() <= 2.0):
+                and ell.pad_ratio() <= 2.0) or (
+                # chunked plans passed their own build-time pad guard
+                # (<= max(2.5, 1.6x base)) — accept what the wrapper chose
+                isinstance(ell, ColChunkedEllPlan)
+                and ell.pad_ratio() <= 2.5):
             # SUM/MEAN: gather + K-sum; MAX/MIN: masked K-axis reduce with
             # K-slot argmax residuals (no scan, no segment) — both beat the
             # segment formulations whenever the ELL padding is bounded.
@@ -543,6 +554,17 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
                                  int(dense.shape[-1]), reduce)
         if tuned is not None:
             algorithm = tuned
+    # Column-chunked gather variant (planner.ColChunkedEllPlan): swap in
+    # BEFORE capturing vslot — a granularity rebuild refreshes the slot
+    # caches. SUM/MEAN only (max/min argmax residuals live in the
+    # unchunked slot space).
+    ell_eff = st.ell_plan()
+    if reduce in (ReduceOp.SUM, ReduceOp.MEAN) and ell_eff is not None \
+            and algorithm in (Algorithm.AUTO, Algorithm.PALLAS_ROW_TILE):
+        ce = st.ell_chunked(int(dense.shape[-1]),
+                            jnp.dtype(dense.dtype).itemsize)
+        if ce is not None:
+            ell_eff = ce
     values = sparse.values_or_ones()
     # slot caches are only valid for the exact values array the Storage was
     # built with (identity check — set_values/tracers rebuild or clear them)
@@ -565,7 +587,7 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
                 vslot = dict(vslot, ell_p=wp)
     idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
            st.csr2csc(), st.plan(), st.plan(transpose=True),
-           st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan(),
+           st.bell_plan(), st.bell_plan(transpose=True), ell_eff,
            st.csc_col(), vslot, st.mm_comp(), st.mm_bwd())
     return _spmm(reduce, algorithm, sparse.has_value, idx, values, dense)
 

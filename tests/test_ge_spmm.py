@@ -72,3 +72,49 @@ def test_tiny_odd_f_fast_path():
         assert out.shape == (300, f)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
                                    atol=1e-4)
+
+
+def test_descriptor_memoizes_and_works_under_jit():
+    """to_sparse_tensor builds plans once per descriptor; after one eager
+    call, gespmmCsrSpMM can run inside jit (the memoized SparseTensor is
+    closed over as a constant). A cold descriptor inside jit raises."""
+    import jax
+
+    d, rowptr, col, vals, B = make(7)
+    out0 = ge_spmm.gespmmCsrSpMM(d, jnp.asarray(B))  # eager warm-up
+    sp1 = d.to_sparse_tensor()
+    assert d.to_sparse_tensor() is sp1  # memoized
+
+    @jax.jit
+    def f(x):
+        return ge_spmm.gespmmCsrSpMM(d, x)
+
+    out1 = f(jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=1e-5, atol=1e-5)
+
+    cold = ge_spmm.SpMatCsrDescr_t(
+        nrow=d.nrow, ncol=d.ncol, nnz=d.nnz, indptr=d.indptr,
+        indices=d.indices, data=d.data)
+
+    @jax.jit
+    def g(x):
+        return ge_spmm.gespmmCsrSpMM(cold, x)
+
+    with pytest.raises(RuntimeError, match="inside jit"):
+        g(jnp.asarray(B))
+
+
+def test_no_edge_value_twin_isolated_from_valued_cache():
+    """spmm_cuda_no_edge_value must not reuse the valued descriptor's
+    memoized SparseTensor (regression: dataclasses.replace copied _sp)."""
+    d, rowptr, col, vals, B = make(8)
+    valued = np.asarray(ge_spmm.gespmmCsrSpMM(d, jnp.asarray(B)))
+    ones = np.asarray(ge_spmm.spmm_cuda_no_edge_value(d, jnp.asarray(B)))
+    ref = spmm_oracle(rowptr, col, None, B, "sum")
+    np.testing.assert_allclose(ones, ref, rtol=1e-4, atol=1e-4)
+    assert not np.allclose(ones, valued)  # actually different semantics
+    # twin is memoized too
+    assert getattr(d, "_no_value_twin") is not None
+    again = np.asarray(ge_spmm.spmm_cuda_no_edge_value(d, jnp.asarray(B)))
+    np.testing.assert_allclose(again, ref, rtol=1e-4, atol=1e-4)
