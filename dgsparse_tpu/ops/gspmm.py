@@ -228,11 +228,14 @@ def _hybrid_sum_mean(sparse: SparseTensor, dense: jax.Array,
     from dgsparse_tpu.ops import spmm as smod
 
     st = sparse.storage
+    # chunked-gather swap (docs/BENCHMARKS.md §2e) — resolve BEFORE the
+    # vslot captures below so a granularity rebuild refreshes the caches
+    ell_eff = smod.effective_ell_plan(st, dense, reduce, Algorithm.AUTO)
 
     def run(vals, has_value, vslot):
         idx = (st.rowptr(), st.col(), st.coo_row(), st.colptr(), st.row(),
                st.csr2csc(), st.plan(), st.plan(transpose=True),
-               st.bell_plan(), st.bell_plan(transpose=True), st.ell_plan(),
+               st.bell_plan(), st.bell_plan(transpose=True), ell_eff,
                st.csc_col(), vslot, st.mm_comp(), st.mm_bwd())
         return smod._spmm(reduce, Algorithm.AUTO, has_value, idx, vals,
                           dense)

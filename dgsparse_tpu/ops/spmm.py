@@ -529,6 +529,25 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
 _spmm.defvjp(_spmm_fwd, _spmm_bwd)
 
 
+def effective_ell_plan(st, dense: jax.Array, reduce: ReduceOp,
+                       algorithm: Algorithm):
+    """The ELL/hybrid plan a SUM/MEAN row-tile execution should ride:
+    the column-chunked variant (planner.ColChunkedEllPlan) when the
+    storage built one for this gather-table size (the >16 MB slow-gather
+    regime, docs/BENCHMARKS.md §2e), else the flat plan. Called BEFORE
+    capturing vslot — a granularity rebuild refreshes the slot caches.
+    MAX/MIN always get the flat plan (argmax residuals live in the
+    unchunked slot space)."""
+    ell = st.ell_plan()
+    if reduce in (ReduceOp.SUM, ReduceOp.MEAN) and ell is not None \
+            and algorithm in (Algorithm.AUTO, Algorithm.PALLAS_ROW_TILE):
+        ce = st.ell_chunked(int(dense.shape[-1]),
+                            jnp.dtype(dense.dtype).itemsize)
+        if ce is not None:
+            return ce
+    return ell
+
+
 def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
          algorithm=Algorithm.AUTO) -> jax.Array:
     """SpMM with a selectable reduction. Returns [M, F]."""
@@ -554,17 +573,7 @@ def spmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
                                  int(dense.shape[-1]), reduce)
         if tuned is not None:
             algorithm = tuned
-    # Column-chunked gather variant (planner.ColChunkedEllPlan): swap in
-    # BEFORE capturing vslot — a granularity rebuild refreshes the slot
-    # caches. SUM/MEAN only (max/min argmax residuals live in the
-    # unchunked slot space).
-    ell_eff = st.ell_plan()
-    if reduce in (ReduceOp.SUM, ReduceOp.MEAN) and ell_eff is not None \
-            and algorithm in (Algorithm.AUTO, Algorithm.PALLAS_ROW_TILE):
-        ce = st.ell_chunked(int(dense.shape[-1]),
-                            jnp.dtype(dense.dtype).itemsize)
-        if ce is not None:
-            ell_eff = ce
+    ell_eff = effective_ell_plan(st, dense, reduce, algorithm)
     values = sparse.values_or_ones()
     # slot caches are only valid for the exact values array the Storage was
     # built with (identity check — set_values/tracers rebuild or clear them)

@@ -203,3 +203,34 @@ def test_auto_refuses_chunking_small_tables():
     rowptr, col, vals = _powerlaw_csr(seed=51)
     sp = SparseTensor.from_csr(rowptr, col, jnp.asarray(vals), (1200, 500))
     assert sp.storage.ell_chunked(64, 4) is None
+
+
+def test_gspmm_tier_fast_rides_chunked_plan(monkeypatch):
+    """gspmm's hybrid tier-fast SUM/MEAN delegation must pick up the
+    chunked plan the same way public spmm does."""
+    _force(monkeypatch, 4)
+    from dgsparse_tpu.ops.gspmm import ComputeOp, gspmm
+
+    from tests.test_hybrid import clustered_csr
+
+    rowptr, col, vals = clustered_csr()
+    sp = SparseTensor.from_csr(rowptr, col, jnp.asarray(vals),
+                               (1500, 1500))
+    if not isinstance(sp.storage.ell_plan(), HybridPlan):
+        pytest.skip("clustered fixture no longer selects hybrid")
+    assert sp.storage.ell_chunked(32, 4) is not None
+    rng = np.random.default_rng(61)
+    dense = jnp.asarray(rng.standard_normal((1500, 32)).astype(np.float32))
+    # per-edge reference (the fixture is a multigraph — dense-matrix
+    # formulations undercount duplicate edges)
+    coo_r = np.repeat(np.arange(1500), np.diff(rowptr))
+    d_np = np.asarray(dense)
+    ref_mul = np.zeros((1500, 32), np.float32)
+    np.add.at(ref_mul, coo_r, d_np[col] * vals[:, None])
+    ref_add = np.zeros((1500, 32), np.float32)
+    np.add.at(ref_add, coo_r, d_np[col] + vals[:, None])
+    for compute, ref in ((ComputeOp.MUL, ref_mul),
+                         (ComputeOp.ADD, ref_add)):
+        out = gspmm(sp, dense, "sum", compute)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4,
+                                   atol=2e-4)
