@@ -639,8 +639,14 @@ class Storage:
 
             hp = getattr(self, "_ell_fwd", None)
             if isinstance(hp, HybridPlan) and hp.cells is not None:
-                cells = jnp.asarray(materialize_cells_np(hp.cells, None))
-                return {"ell": {"bell": None, "ell": None, "cells": cells},
+                cells_np = materialize_cells_np(hp.cells, None)
+                # bf16 twin: bf16-mode passes read half the bytes and skip
+                # the per-call in-graph cast (XLA materializes a bf16 copy
+                # of the full cell array before every pallas_call otherwise)
+                return {"ell": {"bell": None, "ell": None,
+                                "cells": jnp.asarray(cells_np),
+                                "cells_bf16": jnp.asarray(
+                                    cells_np).astype(jnp.bfloat16)},
                         "esc": None, "esc_t": None, "bell": None,
                         "bell_t": None, "csc": None}
             return None
@@ -675,13 +681,18 @@ class Storage:
 
             if isinstance(self._ell_fwd, HybridPlan):
                 hp = self._ell_fwd
+                cells_dev = (jnp.asarray(
+                    materialize_cells_np(hp.cells, vals_np))
+                    if hp.cells is not None else None)
                 ell_w = {
                     "bell": (slotw(hp.bell, vals_np)
                              if hp.bell is not None else None),
                     "ell": slotw(hp.ell, vals_np),
-                    "cells": (jnp.asarray(
-                        materialize_cells_np(hp.cells, vals_np))
-                        if hp.cells is not None else None),
+                    "cells": cells_dev,
+                    # bf16 twin: bf16-mode passes read half the bytes and
+                    # skip the per-call in-graph cast
+                    "cells_bf16": (cells_dev.astype(jnp.bfloat16)
+                                   if cells_dev is not None else None),
                     "ell_t": (slotw(hp.ell_t, vals_np)
                               if hp.ell_t is not None else None),
                 }

@@ -705,7 +705,10 @@ def spmm_hybrid_t(
     w = w_slot if isinstance(w_slot, dict) else {}
     out = None
     if plan.cells is not None:
-        cells = w.get("cells")
+        cells = (w.get("cells_bf16")
+                 if compute_dtype == jnp.bfloat16 else None)
+        if cells is None:
+            cells = w.get("cells")
         if cells is None:
             cells = materialize_cells(plan.cells, values)
         out = spmm_dense_cells(plan.cells, cells, g, transpose=True,
@@ -746,7 +749,10 @@ def spmm_hybrid(
     w = w_slot if isinstance(w_slot, dict) else {}
     out = None
     if plan.cells is not None:
-        cells = w.get("cells")
+        cells = (w.get("cells_bf16")
+                 if compute_dtype == jnp.bfloat16 else None)
+        if cells is None:
+            cells = w.get("cells")
         if cells is None:
             cells = materialize_cells(plan.cells, values)
         out = spmm_dense_cells(plan.cells, cells, dense,

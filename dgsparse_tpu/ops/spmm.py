@@ -84,8 +84,13 @@ def _forward_impl(reduce: ReduceOp, algorithm: Algorithm, has_value: bool,
         w = vslot["ell"] if vslot is not None else None
         wp = vslot.get("ell_p") if isinstance(vslot, dict) else None
         if isinstance(ell_fwd, HybridPlan):
+            # bf16 inputs run the whole hybrid in bf16 compute (single-
+            # pass cell matmuls, cached bf16 cell blocks); accumulation
+            # stays f32 inside every tier
+            cd = jnp.bfloat16 if dense.dtype == jnp.bfloat16 \
+                else jnp.float32
             out = kp.spmm_hybrid(ell_fwd, vals, dense, reduce, degrees,
-                                 w_slot=w, wp_slot=wp)
+                                 compute_dtype=cd, w_slot=w, wp_slot=wp)
         elif isinstance(ell_fwd, ColChunkedEllPlan):
             wc = vslot.get("ell_c") if isinstance(vslot, dict) else None
             out = kp.spmm_col_chunked_ell(ell_fwd, vals, dense, reduce,
@@ -235,9 +240,11 @@ def _spmm_bwd(reduce, algorithm, has_value, residuals, g):
             from dgsparse_tpu.kernels import pallas_spmm as kp
 
             w = vslot["ell"] if vslot is not None else None
+            cd = jnp.bfloat16 if g.dtype == jnp.bfloat16 \
+                else jnp.float32
             d_dense = kp.spmm_hybrid_t(
                 ell_fwd, values if has_value else None, g,
-                w_slot=w).astype(dense.dtype)
+                compute_dtype=cd, w_slot=w).astype(dense.dtype)
         elif alg == Algorithm.PALLAS_BELL and bell_bwd is not None:
             from dgsparse_tpu.kernels import pallas_spmm as kp
 
