@@ -202,11 +202,20 @@ def bench_reddit_ell(name, rowptr, col, feat):
         return []
     rng = np.random.default_rng(1)
     b = jnp.asarray(rng.standard_normal((m, feat)).astype(np.float32))
+    # sp must be a TIMED ARGUMENT: closure capture embeds the 115M-edge
+    # plan (3.3 GB with the chunked twin) as HLO literals, which stalls
+    # the tunnel compiler for tens of minutes (same lesson as
+    # bench_auto_public)
     dt = time_pytree_2pt(
-        lambda x: spmm(sp, x, "sum", Algorithm.PALLAS_ROW_TILE), (b,),
-        iters=(2, 6), repeats=5)
-    return [_row(name, f"ELL chunked (pad {plan.pad_ratio():.2f})",
-                 nnz, m, m, feat, dt)]
+        lambda x, s: spmm(s, x, "sum", Algorithm.PALLAS_ROW_TILE),
+        (b, sp), iters=(2, 6), repeats=5)
+    from dgsparse_tpu.core.planner import ColChunkedEllPlan
+
+    cp = sp.storage.ell_chunked(feat, 4)
+    tag = (f"ELL col-chunked x{cp.nchunks}"
+           if isinstance(cp, ColChunkedEllPlan)
+           else f"ELL flat (pad {plan.pad_ratio():.2f})")
+    return [_row(name, tag, nnz, m, m, feat, dt)]
 
 
 def bench_reddit_hybrid(name, rowptr, col, feat):
