@@ -51,6 +51,11 @@ CONFIGS = [
     ("cora-shaped-gin-sum", 2708, 2.4, 1433, 16, 7, "gin-sum"),
     ("cora-shaped-gin-max", 2708, 2.4, 1433, 16, 7, "gin-max"),
     ("arxiv-scale-gin-max", 169_343, 4.2, 128, 256, 40, "gin-max"),
+    # reddit-scale: real Reddit's shape (233K nodes, 114.6M edges,
+    # 602->64->41) on the clustered generator — the deployment-target row
+    # BASELINE.json names; the backward runs the column-chunked hybrid_t
+    # plans. deg is avg Poisson degree here, not a lognormal mu.
+    ("reddit-scale", 232_965, 492.0, 602, 64, 41, "gcn-reddit"),
 ]
 
 
@@ -62,14 +67,42 @@ def run_config(name, nodes, deg, in_feat, hidden, classes, model_kind,
     from dgsparse_tpu.utils.bench import time_pytree_2pt
     from dgsparse_tpu.utils.testing import random_csr
 
-    rowptr, col, _ = random_csr(nodes, nodes, avg_degree=deg, seed=0,
-                                skew=1.0, with_empty_rows=False)
-    nnz = len(col)
-    rng = np.random.default_rng(1)
+    if model_kind == "gcn-reddit":
+        # Community-clustered CSR at real-Reddit shape; GCN normalization
+        # computed directly on the CSR (no edge-order lexsort at 115M —
+        # the generator already emits sorted CSR; self-loops skipped, the
+        # norm is the same D^-1/2 A D^-1/2 math on the loopless graph).
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from bench_scale import clustered_graph
+
+        from dgsparse_tpu import SparseTensor
+
+        rowptr, col = clustered_graph(nodes, nodes, deg, seed=0)
+        degs = np.diff(rowptr).astype(np.float64)
+        dinv = 1.0 / np.sqrt(np.maximum(degs, 1.0))
+        coo_row = np.repeat(np.arange(nodes, dtype=np.int64), np.diff(rowptr))
+        vals = (dinv[coo_row] * dinv[col]).astype(np.float32)
+        del coo_row
+        import time as _t
+
+        t0 = _t.perf_counter()
+        adj = SparseTensor.from_csr(rowptr, col, vals,
+                                    sparse_sizes=(nodes, nodes))
+        log(f"{name}: from_csr {_t.perf_counter() - t0:.1f}s")
+        nnz = len(col)
+        rng = np.random.default_rng(1)
+        model_kind = "gcn-pre"
+    else:
+        rowptr, col, _ = random_csr(nodes, nodes, avg_degree=deg, seed=0,
+                                    skew=1.0, with_empty_rows=False)
+        nnz = len(col)
+        rng = np.random.default_rng(1)
     if model_kind == "gcn":
         coo_row = np.repeat(np.arange(nodes, dtype=np.int32),
                             np.diff(rowptr))
         adj = get_gcn_dcsr_from_edge_index(np.stack([coo_row, col]), nodes)
+    elif model_kind == "gcn-pre":
+        pass
     else:
         from dgsparse_tpu import SparseTensor
 
@@ -78,7 +111,7 @@ def run_config(name, nodes, deg, in_feat, hidden, classes, model_kind,
     x = jnp.asarray(rng.standard_normal((nodes, in_feat)).astype(np.float32))
     y = jnp.asarray(rng.integers(0, classes, nodes))
 
-    if model_kind == "gcn":
+    if model_kind in ("gcn", "gcn-pre"):
         model = GCN(hidden_features=hidden, out_features=classes)
     else:
         model = GIN(hidden_features=hidden, out_features=classes,
@@ -111,9 +144,12 @@ def run_config(name, nodes, deg, in_feat, hidden, classes, model_kind,
     wall = (time.perf_counter() - t0) / epochs
     final_loss = float(loss)
 
-    # ---- two-point on-device step time (dispatch-latency-free)
+    # ---- two-point on-device step time (dispatch-latency-free).
+    # 115M-edge steps run ~1 s each: shorter loops there keep the bench
+    # bounded while the two-point subtraction still cancels dispatch.
+    it = (2, 8) if nnz > 20_000_000 else (10, 50)
     dt = time_pytree_2pt(lambda p, o: step(p, o)[:2], (params, opt_state),
-                         iters=(10, 50), repeats=3)
+                         iters=it, repeats=3)
 
     # FLOP model for the full step: dense layers fwd 2*N*(Fin*H + H*C),
     # SpMM fwd 2*nnz*(H + C); backward ~2x forward (dX + dW per matmul,
@@ -147,14 +183,25 @@ def run_config(name, nodes, deg, in_feat, hidden, classes, model_kind,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", help="substring filter on config name")
     args = ap.parse_args()
     rows = []
     for cfg in CONFIGS:
         if args.quick and cfg[1] > 10_000:
             continue
-        rows.append(run_config(*cfg, epochs=20 if not args.quick else 5))
+        if args.only and args.only not in cfg[0]:
+            continue
+        epochs = 20 if not args.quick else 5
+        if cfg[1] > 200_000:
+            epochs = 5  # ~1 s/step at 115M edges
+        rows.append(run_config(*cfg, epochs=epochs))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results_train.json")
+    if args.only and os.path.exists(out):
+        with open(out) as fh:
+            prev = json.load(fh).get("rows", [])
+        names = {r["config"] for r in rows}
+        rows = [r for r in prev if r["config"] not in names] + rows
     with open(out, "w") as fh:
         json.dump({"backend": jax.default_backend(), "rows": rows}, fh,
                   indent=1)
