@@ -9,10 +9,22 @@ BASELINE.md).
 Each candidate algorithm is measured in a SUBPROCESS with a timeout so a
 hung device/compile can never take down the whole benchmark; children
 write stage markers (init/construction/compile/timing) so a timeout is
-attributed to the stage it hung in, and a failed/timed-out child is
-retried ONCE (the round-3 driver capture lost the XLA_SEGMENT datapoint
-to an unexplained 300 s hang with no cause recorded). The parent prints
-exactly ONE JSON line (best successful measurement) to stdout.
+attributed to the stage it hung in. Outage discipline (round 5 — the
+round-4 capture burned 26 minutes of blind retries inside one device
+outage and recorded only the XLA fallback):
+
+  1. a 60 s PRE-FLIGHT child that only initializes the backend runs
+     before any measurement child; if it fails, the parent waits and
+     re-probes instead of burning an algorithm's timeout budget;
+  2. a child that dies in the 'backend-init' stage is treated as a
+     device outage, not an algorithm failure: the alg is rotated to the
+     END of the queue and re-gated behind a fresh pre-flight;
+  3. the final JSON line never silently reports the fallback as "the"
+     number while a faster algorithm failed only in backend-init — it
+     carries "device_outage": true plus the list of unmeasured algs.
+
+The parent prints exactly ONE JSON line (best successful measurement)
+to stdout.
 """
 
 import json
@@ -113,8 +125,45 @@ def child(algorithm_name: str, out_path: str) -> None:
     _mark(stage_path, "done")
 
 
+def preflight_child() -> None:
+    """Backend init only — a cheap canary for device availability."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    jax.device_get(jnp.zeros((8,), jnp.float32) + 1.0)
+    log(f"[preflight] backend {jax.default_backend()} up in "
+        f"{time.perf_counter() - t0:.2f}s")
+
+
+def _device_up(timeout: int = 60) -> bool:
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--preflight"],
+            timeout=timeout, check=False,
+            stdout=sys.stderr, stderr=sys.stderr,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_device(max_probes: int = 6, wait_s: int = 45) -> bool:
+    """Probe until the backend initializes; bounded total ~10 min."""
+    for i in range(max_probes):
+        if _device_up():
+            return True
+        log(f"[preflight] device unavailable (probe {i + 1}/{max_probes}); "
+            f"waiting {wait_s}s...")
+        time.sleep(wait_s)
+    return _device_up()
+
+
 def _run_child(alg: str, timeout: int, out_path: str):
-    """One child invocation. Returns (result_dict_or_None, failure_cause)."""
+    """One child invocation.
+
+    Returns (result_dict_or_None, failure_cause, failure_stage).
+    """
     stage_path = out_path + ".stage"
     if os.path.exists(stage_path):
         os.unlink(stage_path)
@@ -134,47 +183,92 @@ def _run_child(alg: str, timeout: int, out_path: str):
             stage = f.read().strip()
     if os.path.exists(out_path):
         with open(out_path) as f:
-            return json.load(f), None
+            return json.load(f), None, None
     cause = (f"timed out after {timeout}s in stage '{stage}'"
              if rc == "timeout" else f"exited rc={rc} in stage '{stage}'")
     log(f"[{alg}] FAILED: {cause}")
-    return None, cause
+    return None, cause, stage
+
+
+# Stages where a failure means "the device/tunnel was down", not "the
+# algorithm is broken": nothing algorithm-specific has run yet.
+_OUTAGE_STAGES = ("backend-init", "not-started")
 
 
 def main():
     results = []
-    failures = {}
+    failures = {}        # alg -> list of failure causes
+    outage_only = set()  # algs whose every failure was backend-init
+    queue = [("PALLAS_ROW_TILE", 420),
+             ("PALLAS_EDGE_TILE", 360),
+             ("XLA_SEGMENT", 240)]
+    attempts = {alg: 0 for alg, _ in queue}
+    MAX_ATTEMPTS = 3
+    DEADLINE_S = 2100  # 35 min global cap on the whole capture
+    t_start = time.monotonic()
     with tempfile.TemporaryDirectory() as td:
-        # Children keep the worst case bounded: the row-tile Pallas path
-        # (fastest measured), the ESC edge-tile path, and the XLA fallback
-        # as the safety net if a Pallas child fails or the device
-        # misbehaves. Each child retries ONCE on failure/timeout (transport
-        # hiccups on the tunneled device are transient; a repeat failure is
-        # recorded with its stage attribution).
-        for alg, timeout in (("PALLAS_ROW_TILE", 420),
-                             ("PALLAS_EDGE_TILE", 360),
-                             ("XLA_SEGMENT", 300)):
+        if not _wait_for_device():
+            log("[preflight] device never came up; attempting children "
+                "anyway (they carry their own timeouts)")
+        while queue:
+            alg, timeout = queue.pop(0)
+            if (attempts[alg] > 0
+                    and time.monotonic() - t_start > DEADLINE_S):
+                log(f"[{alg}] global deadline reached; skipping retry")
+                continue
+            attempts[alg] += 1
             out_path = os.path.join(td, f"{alg}.json")
-            res, cause = _run_child(alg, timeout, out_path)
-            if res is None:
-                log(f"[{alg}] retrying once...")
-                res, cause2 = _run_child(alg, timeout, out_path)
-                if res is None:
-                    failures[alg] = {"first": cause, "retry": cause2}
+            res, cause, stage = _run_child(alg, timeout, out_path)
             if res is not None:
                 results.append(res)
+                outage_only.discard(alg)
+                continue
+            failures.setdefault(alg, []).append(cause)
+            if stage in _OUTAGE_STAGES:
+                # Device outage, not an algorithm failure: re-gate behind
+                # a fresh pre-flight and retry this alg AFTER the others,
+                # giving the device time to recover.
+                outage_only.add(alg)
+                if attempts[alg] < MAX_ATTEMPTS:
+                    log(f"[{alg}] backend-init failure -> rotating to end "
+                        f"of queue (attempt {attempts[alg]}/{MAX_ATTEMPTS})")
+                    queue.append((alg, timeout))
+                if not _wait_for_device():
+                    log("[preflight] device still down after probe window")
+            else:
+                # Real (post-init) failure: one immediate retry, then give
+                # up on this alg.
+                if attempts[alg] < 2:
+                    log(f"[{alg}] post-init failure; retrying once...")
+                    attempts[alg] += 1
+                    res, cause2, _ = _run_child(alg, timeout, out_path)
+                    if res is not None:
+                        results.append(res)
+                        outage_only.discard(alg)
+                    else:
+                        failures[alg].append(cause2)
 
-    for alg, cause in failures.items():
-        log(f"[{alg}] FINAL FAILURE: {json.dumps(cause)}")
+    for alg, causes in failures.items():
+        log(f"[{alg}] failures: {json.dumps(causes)}")
+    unmeasured = sorted(a for a in attempts
+                        if not any(r["alg"] == a for r in results))
     if results:
         best = max(results, key=lambda r: r["gflops"])
-        print(json.dumps({
+        record = {
             "metric": f"spmm_sum GFLOP/s (p2p-Gnutella31, feat={FEAT}, "
                       f"fp32, {best['backend']}, alg={best['alg']})",
             "value": round(best["gflops"], 2),
             "unit": "GFLOP/s",
             "vs_baseline": round(best["gflops"] / BASELINE_GFLOPS, 4),
-        }))
+        }
+        # Honesty clause: if a (historically faster) alg was lost purely
+        # to device outage, say so in the record rather than letting the
+        # fallback masquerade as the framework's best.
+        lost_to_outage = [a for a in unmeasured if a in outage_only]
+        if lost_to_outage:
+            record["device_outage"] = True
+            record["unmeasured_algs"] = lost_to_outage
+        print(json.dumps(record))
     else:
         print(json.dumps({
             "metric": f"spmm_sum GFLOP/s (p2p-Gnutella31, feat={FEAT}, "
@@ -183,11 +277,14 @@ def main():
             "value": 0.0,
             "unit": "GFLOP/s",
             "vs_baseline": 0.0,
+            "device_outage": True,
         }))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--preflight":
+        preflight_child()
     else:
         main()

@@ -70,16 +70,31 @@ def run_config(name, nodes, deg, in_feat, hidden, classes, model_kind,
     if model_kind == "gcn-reddit":
         # Community-clustered CSR at real-Reddit shape; GCN normalization
         # computed directly on the CSR (no edge-order lexsort at 115M —
-        # the generator already emits sorted CSR; self-loops skipped, the
-        # norm is the same D^-1/2 A D^-1/2 math on the loopless graph).
+        # the generator already emits sorted CSR). Self-loops are APPENDED
+        # per row before normalization so the protocol matches every other
+        # GCN row and the reference (fill_diag in
+        # dgsparse/nn/gcnconv.py:37-50) — D^-1/2 (A+I) D^-1/2.
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from bench_scale import clustered_graph
 
         from dgsparse_tpu import SparseTensor
 
         rowptr, col = clustered_graph(nodes, nodes, deg, seed=0)
-        degs = np.diff(rowptr).astype(np.float64)
-        dinv = 1.0 / np.sqrt(np.maximum(degs, 1.0))
+        old_deg = np.diff(rowptr)
+        # vectorized self-loop insertion at the end of each row: old entry
+        # at flat position p in row r moves to p + r; the loop for row r
+        # lands at rowptr[r+1] + r (two writes over nnz + nodes elements)
+        rows64 = np.repeat(np.arange(nodes, dtype=np.int64), old_deg)
+        col2 = np.empty(len(col) + nodes, dtype=col.dtype)
+        col2[np.arange(len(col), dtype=np.int64) + rows64] = col
+        col2[rowptr[1:].astype(np.int64) + np.arange(nodes)] = np.arange(
+            nodes, dtype=col.dtype)
+        rowptr = (rowptr.astype(np.int64)
+                  + np.arange(nodes + 1, dtype=np.int64)).astype(np.int32)
+        col = col2
+        degs = (old_deg + 1).astype(np.float64)
+        dinv = 1.0 / np.sqrt(degs)
+        del rows64
         coo_row = np.repeat(np.arange(nodes, dtype=np.int64), np.diff(rowptr))
         vals = (dinv[coo_row] * dinv[col]).astype(np.float32)
         del coo_row
@@ -185,26 +200,40 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", help="substring filter on config name")
     args = ap.parse_args()
+    selected = [cfg for cfg in CONFIGS
+                if not (args.quick and cfg[1] > 10_000)
+                and not (args.only and args.only not in cfg[0])]
+    if not selected:
+        ap.error(f"filter combination (--quick={args.quick}, "
+                 f"--only={args.only!r}) selects no configs; refusing to "
+                 f"overwrite results_train.json with zero rows")
+    backend = jax.default_backend()
     rows = []
-    for cfg in CONFIGS:
-        if args.quick and cfg[1] > 10_000:
-            continue
-        if args.only and args.only not in cfg[0]:
-            continue
+    for cfg in selected:
         epochs = 20 if not args.quick else 5
         if cfg[1] > 200_000:
             epochs = 5  # ~1 s/step at 115M edges
-        rows.append(run_config(*cfg, epochs=epochs))
+        row = run_config(*cfg, epochs=epochs)
+        row["backend"] = backend  # per-row: merged files can mix sessions
+        rows.append(row)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results_train.json")
     if args.only and os.path.exists(out):
         with open(out) as fh:
-            prev = json.load(fh).get("rows", [])
+            prev_doc = json.load(fh)
+        prev = prev_doc.get("rows", [])
+        prev_backend = prev_doc.get("backend", "unknown")
         names = {r["config"] for r in rows}
-        rows = [r for r in prev if r["config"] not in names] + rows
+        kept = [r for r in prev if r["config"] not in names]
+        for r in kept:  # label carried-over rows with THEIR backend
+            r.setdefault("backend", prev_backend)
+        if any(r.get("backend") != backend for r in kept):
+            log(f"note: merged rows span backends "
+                f"({sorted({r.get('backend') for r in kept} | {backend})}); "
+                f"per-row 'backend' fields disambiguate")
+        rows = kept + rows
     with open(out, "w") as fh:
-        json.dump({"backend": jax.default_backend(), "rows": rows}, fh,
-                  indent=1)
+        json.dump({"backend": backend, "rows": rows}, fh, indent=1)
     log(f"wrote {out}")
 
 

@@ -55,6 +55,7 @@ def main():
     rng = np.random.default_rng(1)
     b = jnp.asarray(rng.standard_normal((m, feat)).astype(np.float32))
     rows = []
+    raw = {}  # unrounded floats per reduce, for the summary ratios
     for reduce in ("mean", "max"):
         fwd = time_pytree_2pt(lambda x: spmm(sp, x, reduce), (b,),
                               iters=(2, 6), repeats=2)
@@ -66,19 +67,21 @@ def main():
         gf = 2.0 * nnz * feat / fwd / 1e9
         log(f"{reduce}: fwd {fwd*1e3:.1f} ms ({gf:.1f} GF/s), "
             f"fwd+bwd {fb*1e3:.1f} ms")
+        raw[reduce] = (fwd, fb)
         rows.append({"reduce": reduce, "feat": feat, "nnz": int(nnz),
                      "fwd_ms": round(fwd * 1e3, 1),
                      "fwd_gflops": round(gf, 1),
                      "fwd_bwd_ms": round(fb * 1e3, 1)})
-    rows.append({"max_vs_mean_fwd": round(rows[1]["fwd_ms"]
-                                          / rows[0]["fwd_ms"], 2),
-                 "max_vs_mean_fwd_bwd": round(rows[1]["fwd_bwd_ms"]
-                                              / rows[0]["fwd_bwd_ms"], 2)})
+    # ratios live in a separate top-level key (NOT a rows entry missing
+    # the measurement schema) and divide the unrounded floats
+    summary = {"max_vs_mean_fwd": round(raw["max"][0] / raw["mean"][0], 3),
+               "max_vs_mean_fwd_bwd": round(raw["max"][1] / raw["mean"][1],
+                                            3)}
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results_maxmin_scale_r4.json")
     with open(out, "w") as fh:
-        json.dump({"backend": jax.default_backend(), "rows": rows}, fh,
-                  indent=1)
+        json.dump({"backend": jax.default_backend(), "rows": rows,
+                   "summary": summary}, fh, indent=1)
     log(f"wrote {out}")
 
 
