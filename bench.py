@@ -159,32 +159,56 @@ def _wait_for_device(max_probes: int = 6, wait_s: int = 45) -> bool:
     return _device_up()
 
 
+INIT_WATCHDOG_S = 150  # healthy backend inits measure 6-32 s
+
+
+def _read_stage(stage_path: str) -> str:
+    if os.path.exists(stage_path):
+        with open(stage_path) as f:
+            return f.read().strip()
+    return "not-started"
+
+
 def _run_child(alg: str, timeout: int, out_path: str):
     """One child invocation.
 
-    Returns (result_dict_or_None, failure_cause, failure_stage).
+    Returns (result_dict_or_None, failure_cause, failure_stage). A child
+    that sits in the 'backend-init' stage past INIT_WATCHDOG_S is killed
+    early — it has not touched an algorithm yet, and burning the full alg
+    timeout inside a device outage is what cost round 4 its capture. Post-
+    init stages always get the full timeout (killing a child mid-device-op
+    can wedge the tunnel; an init that never completed holds no device op).
     """
     stage_path = out_path + ".stage"
     if os.path.exists(stage_path):
         os.unlink(stage_path)
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             alg, out_path],
-            timeout=timeout, check=False,
-            stdout=sys.stderr, stderr=sys.stderr,
-        )
-        rc = proc.returncode
-    except subprocess.TimeoutExpired:
-        rc = "timeout"
-    stage = "not-started"
-    if os.path.exists(stage_path):
-        with open(stage_path) as f:
-            stage = f.read().strip()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child",
+         alg, out_path],
+        stdout=sys.stderr, stderr=sys.stderr,
+    )
+    t0 = time.monotonic()
+    rc = None
+    while True:
+        try:
+            rc = proc.wait(timeout=5)
+            break
+        except subprocess.TimeoutExpired:
+            pass
+        elapsed = time.monotonic() - t0
+        stage = _read_stage(stage_path)
+        if (stage in _OUTAGE_STAGES and elapsed > INIT_WATCHDOG_S) or \
+                elapsed > timeout:
+            proc.kill()
+            proc.wait()
+            rc = "timeout"
+            break
+    stage = _read_stage(stage_path)
     if os.path.exists(out_path):
         with open(out_path) as f:
             return json.load(f), None, None
-    cause = (f"timed out after {timeout}s in stage '{stage}'"
+    took = time.monotonic() - t0
+    cause = (f"timed out after {took:.0f}s in stage '{stage}'"
              if rc == "timeout" else f"exited rc={rc} in stage '{stage}'")
     log(f"[{alg}] FAILED: {cause}")
     return None, cause, stage

@@ -91,6 +91,52 @@ def clustered_graph(m, n, avg_deg, seed=0, intra=0.8, comm=194):
     return rowptr.astype(np.int32), col
 
 
+def heavytail_graph(m, n, avg_deg, seed=0, intra=0.8, comm=194,
+                    max_deg=20000, sigma=1.5):
+    """Hub-augmented community graph (VERDICT r4 #3): the adversarial
+    stand-in for real Reddit's degree tail that the Poisson clustered
+    generator lacks (docs/BENCHMARKS.md §9 fidelity gap). Out-degrees are
+    lognormal(sigma) clipped to max_deg and bisection-scaled to the target
+    mean; columns keep the community structure (intra fraction inside
+    ~comm-node blocks) but inter-community edges attach PREFERENTIALLY
+    (p ∝ degree), so hub columns are hot on the gather side too — matching
+    the real graph's symmetric hub structure. With sigma=1.5 the top-1 %
+    of rows carry ~20 % of edges and p99 ≈ 5K (real Reddit: max ~21.6K).
+    Substitutes the reference's real-data policy
+    (/root/reference/test/utils.py:15-46) under zero network egress."""
+    rng = np.random.default_rng(seed)
+    x = rng.lognormal(0.0, sigma, m)
+    lo, hi = 1e-3, 1e6
+    target = float(avg_deg) * m
+    for _ in range(60):  # bisection on the pre-clip scale
+        c = 0.5 * (lo + hi)
+        s = np.minimum(np.maximum(np.rint(x * c), 1), max_deg).sum()
+        lo, hi = (c, hi) if s < target else (lo, c)
+    deg = np.minimum(np.maximum(np.rint(x * 0.5 * (lo + hi)), 1),
+                     max_deg).astype(np.int64)
+    nnz = int(deg.sum())
+    cum = np.cumsum(deg)
+    row = np.repeat(np.arange(m, dtype=np.int64), deg)
+    c0 = (row // comm) * comm
+    col = (c0 + rng.integers(0, 1 << 30, nnz)
+           % np.minimum(comm, n - c0)).astype(np.int32)
+    del c0
+    # preferential inter-community columns: searchsorted on cumsum(deg)
+    inter = np.nonzero(rng.random(nnz) >= intra)[0]
+    draws = rng.integers(0, cum[-1], len(inter), dtype=np.int64)
+    col[inter] = np.searchsorted(cum, draws, side="right").astype(np.int32)
+    del inter, draws
+    order = np.argsort(row * (n + 1) + col, kind="stable")
+    del row
+    col = col[order]
+    rowptr = np.zeros(m + 1, np.int64)
+    rowptr[1:] = cum
+    ds = np.sort(deg)[::-1]
+    log(f"heavytail: nnz={nnz} max_deg={ds[0]} p99={ds[m // 100]} "
+        f"top1%_mass={ds[:m // 100].sum() / nnz:.3f}")
+    return rowptr.astype(np.int32), col
+
+
 def bench_standard(name, rowptr, col, feat, algs):
     """SparseTensor-based spmm benchmark (plans built)."""
     from dgsparse_tpu import Algorithm, SparseTensor, spmm
@@ -442,6 +488,55 @@ def _row(name, alg, nnz, m, n, feat, dt):
     return r
 
 
+def diag_plans(name, rowptr, col):
+    """Host-only plan diagnostics for an adversarial graph: what AUTO
+    builds, the bucketed-ELL K-ladder, pad ratios, the chunk-gate
+    decision, and the hybrid split — 'record what breaks' (VERDICT r4
+    #3) without touching the device."""
+    from dgsparse_tpu import SparseTensor
+    from dgsparse_tpu.core.planner import build_hybrid_plan
+
+    m, nnz = len(rowptr) - 1, len(col)
+    t0 = time.perf_counter()
+    sp = SparseTensor.from_csr(rowptr, col, None, sparse_sizes=(m, m),
+                               build_plans="ell")
+    build_s = time.perf_counter() - t0
+    st = sp.storage
+    plan = st.ell_plan()
+    d = {"graph": name, "diag": "plans", "nnz": int(nnz),
+         "from_csr_ell_s": round(build_s, 1),
+         "plan": type(plan).__name__ if plan is not None else None}
+    if plan is not None and hasattr(plan, "ks"):
+        d["k_ladder"] = list(map(int, plan.ks))
+        d["rows_per_bucket"] = list(map(int, plan.rbs))
+        d["pad_ratio"] = round(float(plan.pad_ratio()), 4)
+        slots = sum(rb * k for rb, k in zip(plan.rbs, plan.ks))
+        d["max_bucket_slots"] = max(
+            rb * k for rb, k in zip(plan.rbs, plan.ks))
+        d["total_slots"] = int(slots)
+    hp = plan if hasattr(plan, "dense_fraction") else None
+    if hp is None:
+        t0 = time.perf_counter()
+        hp = build_hybrid_plan(rowptr, col, m)
+        d["hybrid_build_s"] = round(time.perf_counter() - t0, 1)
+    if hp is not None and hasattr(hp, "dense_fraction"):
+        d["hybrid_dense_fraction"] = round(float(hp.dense_fraction), 3)
+        d["hybrid_pad"] = round(float(hp.pad_ratio()), 3)
+        if getattr(hp, "cells", None) is not None:
+            d["hybrid_cells"] = int(hp.cells.num_cells)
+        res = getattr(hp, "ell", None)  # residue BucketedEllPlan
+        if res is not None and hasattr(res, "ks"):
+            d["residue_k_ladder"] = list(map(int, res.ks))
+            d["residue_pad"] = round(float(res.pad_ratio()), 4)
+    cp = st.ell_chunked(64, 4)
+    d["chunk_gate_F64"] = (None if cp is None else
+                           {"nchunks": int(cp.nchunks),
+                            "pad": round(float(cp.pad_ratio()), 4)
+                            if hasattr(cp, "pad_ratio") else None})
+    log(f"[{name}] diag: {json.dumps(d)}")
+    return [d]
+
+
 def bench_auto_public(name, rowptr, col, feat):
     """The user path: SparseTensor.from_csr + spmm(AUTO) — verifies the
     public API reaches the hybrid MXU tier at scale (the round-3 AUTO
@@ -471,7 +566,8 @@ def main():
     ap.add_argument("--skip-arxiv", action="store_true")
     ap.add_argument("--only", default=None,
                     help="run one section: hybrid | sddmm-reddit | "
-                         "lean | sddmm-arxiv | attention | auto-reddit")
+                         "lean | sddmm-arxiv | attention | auto-reddit | "
+                         "heavytail")
     ap.add_argument("--out", default="benchmark/results_scale.json")
     args = ap.parse_args()
     results = []
@@ -517,6 +613,18 @@ def main():
             if only in (None, "attention"):
                 section(bench_attention, "reddit-clustered", rowptr,
                         col, 64)
+        if only == "heavytail":
+            # --- reddit scale with a REAL-Reddit-like degree tail
+            # (VERDICT r4 #3): max_deg ~20K hubs + preferential columns
+            # on top of the community structure; stresses the bucketed-
+            # ELL K-ladder, hybrid residue and chunk gates the Poisson
+            # generator never did ---
+            rowptr, col = heavytail_graph(232965, 232965, 492, seed=6)
+            section(diag_plans, "reddit-heavytail", rowptr, col)
+            section(bench_auto_public, "reddit-heavytail", rowptr,
+                    col, 64)
+            section(bench_reddit_hybrid, "reddit-heavytail", rowptr,
+                    col, 64)
         if only in (None, "lean"):
             # --- reddit scale, random (lean chunked path) ---
             rowptr, col = clustered_graph(232965, 232965, 492, seed=5,

@@ -268,19 +268,47 @@ def gspmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
 
     `values` may be a `SlotValues` (plan-slot-resident edge values,
     ops/slot.py) to override the tensor's own values without the
-    edge-order assembly — supported for the multiplicative semiring
-    (compute='mul', reduce sum/mean), which is the weighted-SpMM case
-    chained pipelines produce."""
+    edge-order assembly. The full semiring grid is supported in slot
+    order (VERDICT r4 #9): MUL runs the weighted tier kernels directly;
+    DIV reweights with the masked reciprocal; ADD/SUB decompose into an
+    unweighted SpMM ± a slot-space row reduction (the same decomposition
+    the edge-order path uses below); MAX/MIN ride the K-slot argmax
+    kernel on ELL storages and pay the one edge-order assembly gather on
+    hybrid storages (max is not tierwise-decomposable)."""
     reduce, compute = as_reduce(reduce), as_compute(compute)
-    from dgsparse_tpu.ops.slot import SlotValues, spmm_slots
+    from dgsparse_tpu.ops.slot import (SlotValues, _ell_st_idx, _layout,
+                                       _spmm_slots_mm, _sv_ones,
+                                       _sv_reciprocal, slots_to_edges,
+                                       spmm_slots, sv_rowsum)
 
     if isinstance(values, SlotValues):
-        if compute != ComputeOp.MUL or reduce not in (ReduceOp.SUM,
-                                                      ReduceOp.MEAN):
-            raise NotImplementedError(
-                "SlotValues gspmm supports compute='mul' with sum/mean; "
-                "assemble edge order (slots_to_edges) for other semirings")
-        return spmm_slots(sparse, values, dense, reduce)
+        sv = values
+        if reduce in (ReduceOp.SUM, ReduceOp.MEAN):
+            if compute == ComputeOp.MUL:
+                return spmm_slots(sparse, sv, dense, reduce)
+            if compute == ComputeOp.DIV:
+                return spmm_slots(sparse, _sv_reciprocal(sparse, sv),
+                                  dense, reduce)
+            # ADD / SUB: unweighted SpMM of u ± row-reduced e
+            base = spmm_slots(sparse, _sv_ones(sparse, sv), dense, reduce)
+            e_row = sv_rowsum(sparse, sv)
+            if reduce == ReduceOp.MEAN:
+                rowptr = sparse.storage.rowptr()
+                deg = jnp.maximum(rowptr[1:] - rowptr[:-1], 1)
+                e_row = e_row / deg.astype(e_row.dtype)
+            e_row = e_row.astype(base.dtype)[:, None]
+            return (base + e_row if compute == ComputeOp.ADD
+                    else base - e_row)
+        # MAX / MIN
+        kind, plan = _layout(sparse)
+        if kind == "ell":
+            return _spmm_slots_mm(reduce, compute,
+                                  sparse.sparse_sizes()[1],
+                                  _ell_st_idx(sparse.storage, plan),
+                                  sv.ell, dense)
+        # hybrid: one edge-order assembly, then the edge-order semiring
+        return gspmm(sparse.set_values(slots_to_edges(sparse, sv)),
+                     dense, reduce, compute)
     from dgsparse_tpu.utils.debug import maybe_validate
 
     maybe_validate(sparse)

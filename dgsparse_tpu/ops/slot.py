@@ -487,20 +487,188 @@ def _spmm_slots_b(kind, num_cols, residuals, g):
 _spmm_slots.defvjp(_spmm_slots_f, _spmm_slots_b)
 
 
-def spmm_slots(sparse: SparseTensor, sv: SlotValues, x: jax.Array,
-               reduce="sum") -> jax.Array:
-    """SpMM with slot-resident edge values: out[r] = sum_e v_e x[col_e]
-    over the structure of `sparse` (values taken from `sv`, not from the
-    SparseTensor). SUM/MEAN. The dense-cell tier weights by the edge
-    multiplicity grid, so duplicate edges accumulate exactly like the
-    edge-order op."""
-    reduce = as_reduce(reduce)
-    if reduce not in (ReduceOp.SUM, ReduceOp.MEAN):
-        raise NotImplementedError(
-            "spmm_slots supports sum/mean (max/min argmax residuals are "
-            "edge-order artifacts; use spmm for those)")
+# ---------------------------------------------------------------------------
+# spmm_slots MAX/MIN (ELL kind): K-slot argmax residuals, slot-space VJP
+# (VERDICT r4 #9 — replaces the round-4 scope guard). The forward is the
+# existing ELL maxmin kernel (kernels/pallas_spmm.spmm_ell_maxmin) fed
+# slot-resident values; the backward mirrors the round-4 edge-order
+# slot-space formulation (ops/spmm.py) except d_values stays IN slot
+# space — no plan.inv edge-order assembly at either end. `compute`
+# generalizes to the gspmm-fp semiring (include/gspmm.h:67-79 semantics:
+# contrib = feat OP edge).
+# ---------------------------------------------------------------------------
+
+def _ell_flat_meta(plan):
+    """Static (rbs, ks) bucket geometry for EllPlan/BucketedEllPlan."""
+    if isinstance(plan, BucketedEllPlan):
+        return plan.rbs, plan.ks
+    return (plan.num_rows,), (plan.k,)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _spmm_slots_mm(reduce, compute, num_cols, st_idx, v_ell, x):
+    out, _ = _spmm_slots_mm_f(reduce, compute, num_cols, st_idx, v_ell, x)
+    return out
+
+
+def _spmm_slots_mm_f(reduce, compute, num_cols, st_idx, v_ell, x):
+    from dgsparse_tpu.kernels.pallas_spmm import spmm_ell_maxmin
+
+    plan = st_idx[0]
+    out, arg = spmm_ell_maxmin(plan, None, x, reduce, compute=compute,
+                               w_slot=v_ell)
+    return out, (st_idx, v_ell, x, arg)
+
+
+def _spmm_slots_mm_b(reduce, compute, num_cols, residuals, g):
+    from dgsparse_tpu.kernels.pallas_spmm import segment_matmul
+    from dgsparse_tpu.ops.types import ComputeOp
+
+    st_idx, v_ell, x, arg = residuals
+    (plan, _, _, plan_bwd, mm_comp, perm, row_csc, csc_col) = st_idx
+    g32 = g.astype(jnp.float32)
+    rbs, ks = _ell_flat_meta(plan)
+    g_cat = (jnp.take(g32, plan.rows, axis=0)
+             if isinstance(plan, BucketedEllPlan) else g32)
+    flat_n = sum(rb * k for rb, k in zip(rbs, ks))
+    adt = arg.dtype
+    if len(ks) == 1:
+        reps = jnp.full((rbs[0],), ks[0], jnp.int32)
+        slot_k = jnp.tile(jnp.arange(ks[0], dtype=adt), rbs[0])
+    else:
+        reps = jnp.concatenate([jnp.full((rb,), k, jnp.int32)
+                                for rb, k in zip(rbs, ks)])
+        slot_k = jnp.concatenate([jnp.tile(jnp.arange(k, dtype=adt), rb)
+                                  for rb, k in zip(rbs, ks)])
+    arg_flat = jnp.repeat(arg, reps, axis=0, total_repeat_length=flat_n)
+    g_flat = jnp.repeat(g_cat, reps, axis=0, total_repeat_length=flat_n)
+    valid = plan.eperm.reshape(-1) >= 0
+    win = jnp.logical_and(arg_flat == slot_k[:, None], valid[:, None])
+    g_win = jnp.where(win, g_flat, 0)                      # [slots, F]
+    v32 = v_ell.astype(jnp.float32)
+    safe_v = jnp.where(valid, v32, 1.0)
+    feats = None
+    if compute in (ComputeOp.MUL, ComputeOp.DIV):
+        feats = jnp.take(x, plan.cols.reshape(-1),
+                         axis=0).astype(jnp.float32)
+    # d_v[slot] = sum_f win*g * d(contrib)/d(edge); contrib = feat OP edge
+    if compute == ComputeOp.MUL:
+        d_v = jnp.sum(g_win * feats, axis=-1)
+    elif compute == ComputeOp.ADD:
+        d_v = jnp.sum(g_win, axis=-1)
+    elif compute == ComputeOp.SUB:                         # c = x - v
+        d_v = -jnp.sum(g_win, axis=-1)
+    else:                                                  # DIV: c = x / v
+        d_v = -jnp.sum(g_win * feats, axis=-1) / (safe_v * safe_v)
+    d_v = jnp.where(valid, d_v, 0).astype(v_ell.dtype)
+    # d_x: per-slot contribution = win * g * d(contrib)/d(feat), summed
+    # into columns via the transpose ESC plan (scatter-free, same route
+    # as the edge-order backward) or the CSC segment fallback
+    if compute == ComputeOp.MUL:
+        contrib_flat = g_win * v32[:, None]
+    elif compute == ComputeOp.DIV:
+        contrib_flat = g_win * (1.0 / safe_v)[:, None]
+    else:                                                  # ADD / SUB: 1
+        contrib_flat = g_win
+    if mm_comp is not None and plan_bwd is not None:
+        csl = jnp.take(contrib_flat, mm_comp, axis=0) \
+            * (plan_bwd.eperm >= 0)[:, None].astype(jnp.float32)
+        d_x = segment_matmul(
+            csl, plan_bwd.lrow, plan_bwd.tile_rb, plan_bwd.num_tiles,
+            plan_bwd.edge_tile, plan_bwd.row_block,
+            plan_bwd.num_row_blocks * plan_bwd.row_block)[:num_cols]
+    else:
+        contrib_csc = jnp.take(contrib_flat, jnp.take(plan.inv, perm),
+                               axis=0)
+        d_x = jax.ops.segment_sum(contrib_csc, csc_col,
+                                  num_segments=num_cols,
+                                  indices_are_sorted=True)
+    return (jax.tree.map(_int_zero, st_idx), d_v, d_x.astype(x.dtype))
+
+
+_spmm_slots_mm.defvjp(_spmm_slots_mm_f, _spmm_slots_mm_b)
+
+
+def _ell_st_idx(st, plan):
+    """The st_idx tuple shared by the ELL-kind slot ops."""
+    return (plan, st.col(), st.coo_row(), st.plan(transpose=True),
+            st.mm_comp(), st.csr2csc(), st.row(), st.csc_col())
+
+
+def _sv_ones(sparse: SparseTensor, sv: SlotValues) -> SlotValues:
+    """All-ones SlotValues over the valid slots of `sparse`'s plan (the
+    unweighted / copy-u weighting; cell-tier consumers weight by the
+    multiplicity grid, so ones at every position are exact)."""
+    kind, plan = _layout(sparse)
+    if kind == "hybrid":
+        cells = None if sv.cells is None else jnp.ones_like(sv.cells)
+        bell = (None if sv.bell is None else
+                (plan.bell.eperm >= 0).astype(sv.bell.dtype))
+        ell_plan = plan.ell
+    else:
+        cells = bell = None
+        ell_plan = plan
+    ell = (ell_plan.eperm.reshape(-1) >= 0).astype(sv.ell.dtype)
+    return SlotValues(cells, bell, ell)
+
+
+def _sv_reciprocal(sparse: SparseTensor, sv: SlotValues) -> SlotValues:
+    """1/v per valid slot, 0 at padding (padding slots must stay 0 so the
+    weighted K-sums cancel them; a bare 1/0 would poison them with inf)."""
     kind, plan = _layout(sparse)
     st = sparse.storage
+
+    def recip(v, valid):
+        return jnp.where(valid, 1.0 / jnp.where(valid, v, 1.0),
+                         0).astype(v.dtype)
+
+    if kind == "hybrid":
+        cells = None
+        if sv.cells is not None:
+            mult = _cell_mult(st, plan)
+            cells = recip(sv.cells, mult > 0)
+        bell = (None if sv.bell is None else
+                recip(sv.bell, plan.bell.eperm >= 0))
+        ell_plan = plan.ell
+    else:
+        cells = bell = None
+        ell_plan = plan
+    ell = recip(sv.ell, ell_plan.eperm.reshape(-1) >= 0)
+    return SlotValues(cells, bell, ell)
+
+
+def sv_rowsum(sparse: SparseTensor, sv: SlotValues) -> jax.Array:
+    """Per-row sum of slot-resident edge values [M] (differentiable) —
+    the e-side reduction the ADD/SUB semiring decomposition needs."""
+    ones = jnp.ones((sparse.sparse_sizes()[1], 1), jnp.float32)
+    return spmm_slots(sparse, sv, ones, "sum")[:, 0]
+
+
+def spmm_slots(sparse: SparseTensor, sv: SlotValues, x: jax.Array,
+               reduce="sum") -> jax.Array:
+    """SpMM with slot-resident edge values: out[r] = reduce_e v_e x[col_e]
+    over the structure of `sparse` (values taken from `sv`, not from the
+    SparseTensor). SUM/MEAN/MAX/MIN. The dense-cell tier weights by the
+    edge multiplicity grid, so duplicate edges accumulate exactly like the
+    edge-order op. MAX/MIN on pure-ELL storages run the K-slot argmax
+    kernel with a fully slot-space backward; on hybrid storages max/min
+    are not tierwise-decomposable, so they pay the one edge-order
+    assembly gather (slots_to_edges) and ride the edge-order masked
+    backward — exact, with the documented ~20 ns/edge boundary cost."""
+    reduce = as_reduce(reduce)
+    kind, plan = _layout(sparse)
+    st = sparse.storage
+    if reduce in (ReduceOp.MAX, ReduceOp.MIN):
+        if kind == "hybrid":
+            from dgsparse_tpu.ops.spmm import spmm as _spmm_edge
+
+            return _spmm_edge(sparse.set_values(slots_to_edges(sparse, sv)),
+                              x, reduce)
+        from dgsparse_tpu.ops.types import ComputeOp
+
+        return _spmm_slots_mm(reduce, ComputeOp.MUL,
+                              sparse.sparse_sizes()[1],
+                              _ell_st_idx(st, plan), sv.ell, x)
     if kind == "hybrid":
         mult = _cell_mult(st, plan) if plan.cells is not None else \
             jnp.zeros((0, 1, 1), jnp.float32)

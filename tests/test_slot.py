@@ -243,3 +243,122 @@ def test_chain_under_jit_with_sparse_argument(kind):
     ref = chain.__wrapped__(jnp.asarray(d1), jnp.asarray(d2), x, sp)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# round 5: slot-order MAX/MIN + the full slot-order gspmm semiring grid
+# (VERDICT r4 #9 — the former NotImplementedError scope guards)
+# ---------------------------------------------------------------------------
+
+def _edge_values(sp, rowptr, seed, positive=False):
+    rng = np.random.default_rng(seed)
+    nnz = int(sp.nnz)
+    v = (rng.uniform(0.5, 1.5, nnz) if positive
+         else rng.standard_normal(nnz)).astype(np.float32)
+    return jnp.asarray(v)
+
+
+@pytest.mark.parametrize("kind", ["ell", "hybrid"])
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_spmm_slots_maxmin_matches_edge_order(kind, reduce):
+    sp, rowptr, col, d1, d2 = (make_ell(7) if kind == "ell"
+                               else make_hybrid(7))
+    _require_layout(sp, kind)
+    v = _edge_values(sp, rowptr, 11)
+    sv = edges_to_slots(sp, v)
+    x = jnp.asarray(d2)
+    got = np.asarray(spmm_slots(sp, sv, x, reduce))
+    ref = np.asarray(spmm(sp.set_values(v), x, reduce))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["ell", "hybrid"])
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_spmm_slots_maxmin_grads(kind, reduce):
+    """Gradients wrt (edge values, dense) agree between the slot path
+    (edges_to_slots -> spmm_slots) and the edge-order masked backward,
+    for the SAME scalar loss."""
+    sp, rowptr, col, d1, d2 = (make_ell(13) if kind == "ell"
+                               else make_hybrid(13))
+    v = _edge_values(sp, rowptr, 17)
+    x = jnp.asarray(d2)
+    rng = np.random.default_rng(19)
+    ct = jnp.asarray(rng.standard_normal(
+        (sp.sparse_sizes()[0], x.shape[1])).astype(np.float32))
+
+    def loss_slot(v, x):
+        return jnp.vdot(spmm_slots(sp, edges_to_slots(sp, v), x, reduce),
+                        ct)
+
+    def loss_edge(v, x):
+        return jnp.vdot(spmm(sp.set_values(v), x, reduce), ct)
+
+    gs = jax.grad(loss_slot, argnums=(0, 1))(v, x)
+    ge = jax.grad(loss_edge, argnums=(0, 1))(v, x)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(ge[0]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(ge[1]),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("kind", ["ell", "hybrid"])
+@pytest.mark.parametrize("compute", ["add", "sub", "mul", "div"])
+@pytest.mark.parametrize("reduce", ["sum", "mean", "max", "min"])
+def test_gspmm_slot_order_full_grid(kind, compute, reduce):
+    """gspmm with SlotValues across the FULL semiring grid vs the
+    edge-order gspmm on the same values (reference grid:
+    example/gspmm-fp/util.py:17-110)."""
+    from dgsparse_tpu import gspmm
+
+    sp, rowptr, col, d1, d2 = (make_ell(29) if kind == "ell"
+                               else make_hybrid(29))
+    v = _edge_values(sp, rowptr, 31, positive=(compute == "div"))
+    sv = edges_to_slots(sp, v)
+    x = jnp.asarray(d2)
+    got = np.asarray(gspmm(sp, x, reduce, compute, values=sv))
+    ref = np.asarray(gspmm(sp.set_values(v), x, reduce, compute))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("compute", ["add", "div"])
+def test_gspmm_slot_order_grads(compute):
+    from dgsparse_tpu import gspmm
+
+    sp, rowptr, col, d1, d2 = make_ell(37)
+    v = _edge_values(sp, rowptr, 41, positive=True)
+    x = jnp.asarray(d2)
+    rng = np.random.default_rng(43)
+    ct = jnp.asarray(rng.standard_normal(
+        (sp.sparse_sizes()[0], x.shape[1])).astype(np.float32))
+
+    def loss_slot(v, x):
+        return jnp.vdot(
+            gspmm(sp, x, "sum", compute, values=edges_to_slots(sp, v)), ct)
+
+    def loss_edge(v, x):
+        return jnp.vdot(gspmm(sp.set_values(v), x, "sum", compute), ct)
+
+    gs = jax.grad(loss_slot, argnums=(0, 1))(v, x)
+    ge = jax.grad(loss_edge, argnums=(0, 1))(v, x)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(ge[0]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(ge[1]),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_spmm_multihead_slot_order_maxmin(reduce):
+    from dgsparse_tpu import spmm_multihead
+
+    sp, rowptr, col, d1, d2 = make_ell(47)
+    n, f = sp.sparse_sizes()[1], d2.shape[1]
+    v0 = _edge_values(sp, rowptr, 53)
+    v1 = _edge_values(sp, rowptr, 59)
+    svs = [edges_to_slots(sp, v0), edges_to_slots(sp, v1)]
+    rng = np.random.default_rng(61)
+    xh = jnp.asarray(rng.standard_normal((n, 2, f)).astype(np.float32))
+    out = spmm_multihead(sp, svs, xh, reduce)
+    for h, v in enumerate((v0, v1)):
+        ref = np.asarray(spmm(sp.set_values(v), xh[:, h, :], reduce))
+        np.testing.assert_allclose(np.asarray(out[:, h]), ref,
+                                   rtol=1e-4, atol=1e-4)
