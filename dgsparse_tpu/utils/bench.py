@@ -97,15 +97,15 @@ def time_on_device_2pt(op: Callable, *args, iters=(50, 250),
     r1, r2 = make(n1), make(n2)
     _sync(r1(jnp.float32(1.0)))
     _sync(r2(jnp.float32(1.0)))
-    best = float("inf")
+    diffs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         _sync(r1(jnp.float32(1.0)))
         t1 = time.perf_counter()
         _sync(r2(jnp.float32(1.0)))
         t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
-    return max(best, 0.0)
+        diffs.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return max(_robust_min(diffs), 0.0)
 
 
 
@@ -160,15 +160,30 @@ def time_pytree_2pt(fn: Callable, args: tuple, iters=(50, 250),
     r1, r2 = make(n1), make(n2)
     _sync(r1(args))
     _sync(r2(args))
-    best = float("inf")
+    diffs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         _sync(r1(args))
         t1 = time.perf_counter()
         _sync(r2(args))
         t2 = time.perf_counter()
-        best = min(best, ((t2 - t1) - (t1 - t0)) / (n2 - n1))
-    return max(best, 0.0)
+        diffs.append(((t2 - t1) - (t1 - t0)) / (n2 - n1))
+    return max(_robust_min(diffs), 0.0)
+
+
+def _robust_min(diffs):
+    """Min over two-point differences, DISCARDING glitch-deflated ones.
+
+    A transient device/tunnel stall during the SHORT loop inflates t1-t0
+    and deflates the difference — min() then keeps the artifact (observed
+    2026-08-20: a p2p F=64 forward 'measured' 210 us between two runs of
+    the same op at 536/676 us; gather-bound forwards are flat in F, so
+    the number was impossible). Keep diffs within 0.6x of the median and
+    take their min: robust to one glitch either way at repeats=3 while
+    preserving min's usual noise rejection."""
+    med = sorted(diffs)[len(diffs) // 2]
+    kept = [d for d in diffs if d >= 0.6 * med]
+    return min(kept) if kept else med
 
 
 def spmm_gflops(nnz: int, feat: int, seconds: float) -> float:
