@@ -529,7 +529,10 @@ def diag_plans(name, rowptr, col):
             d["residue_k_ladder"] = list(map(int, res.ks))
             d["residue_pad"] = round(float(res.pad_ratio()), 4)
     cp = st.ell_chunked(64, 4)
-    d["chunk_gate_F64"] = (None if cp is None else
+    if cp is not None and not hasattr(cp, "nchunks"):
+        cp = getattr(cp, "ell", None)  # hybrid: chunked residue inside
+    d["chunk_gate_F64"] = (None if cp is None or not hasattr(cp, "nchunks")
+                           else
                            {"nchunks": int(cp.nchunks),
                             "pad": round(float(cp.pad_ratio()), 4)
                             if hasattr(cp, "pad_ratio") else None})
