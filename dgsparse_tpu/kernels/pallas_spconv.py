@@ -48,12 +48,28 @@ def set_interpret(value: bool) -> None:
     _INTERPRET = bool(value)
 
 
+def _exact_dot(a, b):
+    """Plain fp32 dot at Precision.HIGHEST — used under interpret mode.
+
+    Interpreted kernels lower to regular XLA (not Mosaic), whose
+    algebraic simplifier reassociates dot(a,hi)+dot(a,lo) ->
+    dot(a, hi+lo) with the add in bf16, silently deleting the lo half
+    of the split trick (same failure as pallas_spmm._split_onehot_dot;
+    observed as ~1e-2 rel error in test_spconv_fused on TPU,
+    2026-08-20). Interpret is the testing mode; exactness > speed."""
+    return jnp.dot(a.astype(jnp.float32), b.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
 def _mm(a, b, exact: bool):
     """a @ b on the MXU. exact=True: hi/lo split of BOTH operands
     (3 bf16 passes, ~fp32-accurate); exact=False: one bf16 pass."""
     if not exact:
         return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
+    if _INTERPRET:
+        return _exact_dot(a, b)
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     ah = a.astype(jnp.bfloat16)
@@ -70,6 +86,8 @@ def _mm_onehot(a, onehot_bf16, exact: bool):
     if not exact:
         return jnp.dot(a.astype(jnp.bfloat16), onehot_bf16,
                        preferred_element_type=jnp.float32)
+    if _INTERPRET:
+        return _exact_dot(a, onehot_bf16)
     a = a.astype(jnp.float32)
     ah = a.astype(jnp.bfloat16)
     al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -117,6 +135,8 @@ def _fused_pair_kernel(row_block: int, edge_tile: int, c_sel: int,
 
 def _split_scatter(onehot_bf16, x):
     """onehot @ x with exact one-hot lhs: hi/lo split of x (2 passes)."""
+    if _INTERPRET:
+        return _exact_dot(onehot_bf16, x)
     x = x.astype(jnp.float32)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -198,7 +218,15 @@ def _dw_kernel(edge_tile: int, c_in: int, exact: bool,
     jj = jax.lax.broadcasted_iota(jnp.int32, (edge_tile, kci), 1)
     sel = (jj // c_in) == widx[:, None]
     xhat = jnp.where(sel, xrep, 0.0)
-    if exact:
+    if exact and _INTERPRET:
+        # see _exact_dot: interpreted kernels lower through the XLA
+        # simplifier, which re-folds the hi/lo split in bf16
+        part = jax.lax.dot_general(
+            xhat.astype(jnp.float32), g_ref[:].astype(jnp.float32),
+            (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    elif exact:
         xh = xhat.astype(jnp.bfloat16)
         xl = (xhat - xh.astype(jnp.float32)).astype(jnp.bfloat16)
         g32 = g_ref[:].astype(jnp.float32)

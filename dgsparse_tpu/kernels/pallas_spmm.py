@@ -52,7 +52,19 @@ def _split_onehot_dot(onehot_bf16, x):
     The one-hot is exact in bf16, so splitting x into bf16 hi/lo halves
     (x = hi + lo with |lo| <= ulp(hi)/2) makes onehot@hi + onehot@lo an
     fp32-accurate sum at 1/3 the cost of Precision.HIGHEST (6 passes):
-    measured 1123 -> ~400 ns/tile on v5e."""
+    measured 1123 -> ~400 ns/tile on v5e.
+
+    INTERPRET mode takes the plain exact dot instead: interpreted kernels
+    lower to regular XLA (not Mosaic), whose algebraic simplifier
+    reassociates dot(s,hi)+dot(s,lo) -> dot(s,hi+lo) with the add in
+    bf16 — which silently deletes the lo half (measured 0.19 max-abs on
+    the p2p ESC backward under interpret-on-TPU, 2026-08-20, vs 3.2e-4
+    compiled). Interpret is the testing/debug mode; exactness > speed."""
+    if _INTERPRET:
+        return jnp.dot(onehot_bf16.astype(jnp.float32),
+                       x.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
     x = x.astype(jnp.float32)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)

@@ -122,8 +122,11 @@ def test_forced_chunking_grads_exact(monkeypatch):
         a = a.at[jnp.asarray(coo_r), jnp.asarray(col)].add(values_)
         return jnp.sum((a @ dense_) * jnp.cos(jnp.arange(16.0)))
 
-    r_v, r_d = jax.grad(dense_loss, argnums=(0, 1))(jnp.asarray(vals),
-                                                    dense)
+    # pin the oracle's matmul: the TPU default is one bf16 pass and the
+    # comparison is fp32-tight (PERF_GUIDE rule 10 / TPU_SUITE.md run 1)
+    with jax.default_matmul_precision("float32"):
+        r_v, r_d = jax.grad(dense_loss, argnums=(0, 1))(jnp.asarray(vals),
+                                                        dense)
     np.testing.assert_allclose(np.asarray(g_d), np.asarray(r_d),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(g_v), np.asarray(r_v),
@@ -181,7 +184,9 @@ def test_hybrid_residue_chunked(monkeypatch):
             jnp.asarray(vals))
         return jnp.sum((a @ dense_) ** 2)
 
-    r = jax.grad(dense_loss)(dense)
+    # pin the oracle's matmul (TPU default is one bf16 pass; rule 10)
+    with jax.default_matmul_precision("float32"):
+        r = jax.grad(dense_loss)(dense)
     np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-3,
                                atol=2e-3)
 
