@@ -92,9 +92,12 @@ def main():
                 acc += jnp.sum(s) * 1e-30
         return acc
 
-    # D: pad-free fill-mode gather pipeline (unweighted): pads point at
-    # column -1; mode="fill" returns 0 rows — no mask multiply, no eperm
-    # read. Host-precompute the -1-padded cols per bucket per chunk.
+    # D: pad-free fill-mode gather pipeline (unweighted): pads point PAST
+    # the chunk slice; mode="fill" returns 0 rows — no mask multiply, no
+    # eperm read. NOTE the sentinel must be >= the slice row count, NOT
+    # -1: jnp.take mode="fill" wraps negative indices numpy-style (only
+    # indices >= n fill) — measured 2026-08-20, the first probe run's
+    # 99.7 % mismatch was every pad slot gathering dsl[-1].
     filled = []
     for c, sub in enumerate(cp.subs):
         if sub.nnz == 0:
@@ -102,7 +105,7 @@ def main():
             continue
         ep = np.asarray(jax.device_get(sub.eperm))
         cl = np.asarray(jax.device_get(sub.cols))
-        filled.append(jnp.asarray(np.where(ep >= 0, cl, -1)))
+        filled.append(jnp.asarray(np.where(ep >= 0, cl, cs).astype(np.int32)))
 
     def full_fill(x, p, fills):
         out = None
@@ -128,14 +131,6 @@ def main():
             out = part if out is None else out + part
         return out
 
-    # correctness of D vs public
-    ref = np.asarray(jax.device_get(
-        jax.jit(lambda x, s: spmm(s, x, "sum"))(b, sp)))
-    got = np.asarray(jax.device_get(
-        jax.jit(full_fill)(b, cp, filled)))
-    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
-    log("correctness OK (D vs public)")
-
     rows = {}
 
     def t(label, fn, args, iters=(2, 6)):
@@ -144,12 +139,28 @@ def main():
         log(f"  [{label:24s}] {dt*1e3:8.1f} ms  {gf:6.2f} GF/s")
         rows[label] = {"ms": round(dt * 1e3, 1), "gflops": round(gf, 2)}
 
+    # correctness of D vs public — AFTER the A/B/C attribution rounds so
+    # a D defect cannot void the attribution record (it did on 08-20).
+    d_ok = False
+    try:
+        ref = np.asarray(jax.device_get(
+            jax.jit(lambda x, s: spmm(s, x, "sum"))(b, sp)))
+        got = np.asarray(jax.device_get(
+            jax.jit(full_fill)(b, cp, filled)))
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+        d_ok = True
+        log("correctness OK (D vs public)")
+    except AssertionError as e:
+        log(f"variant D INCORRECT, timing it anyway for the record: "
+            f"{str(e).splitlines()[2] if len(str(e).splitlines()) > 2 else e}")
+
     for rnd in range(2):
         t(f"A public chunked r{rnd}",
           lambda x, s: spmm(s, x, "sum"), (b, sp))
         t(f"B gather-only r{rnd}", gather_only, (b, cp))
         t(f"C gather+ksum r{rnd}", gather_ksum, (b, cp))
         t(f"D fill-mode full r{rnd}", full_fill, (b, cp, filled))
+    rows["D_correct"] = d_ok
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results_lean_r5.json")
