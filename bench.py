@@ -146,6 +146,12 @@ def child(algorithm_name: str, out_path: str) -> None:
             rec["variant"] = tag
         if best is None or rec["gflops"] > best["gflops"]:
             best = rec
+        # persist after EVERY variant: if a later variant crashes or
+        # hangs past the child timeout, the parent still collects the
+        # measurement already made (a lost packed number cost the
+        # round-4 capture dearly; never discard completed work)
+        with open(out_path, "w") as f:
+            json.dump(best, f)
     with open(out_path, "w") as f:
         json.dump(best, f)
     _mark(stage_path, "done")
@@ -287,7 +293,10 @@ def main():
                     log("[preflight] device still down after probe window")
             else:
                 # Real (post-init) failure: one immediate retry, then give
-                # up on this alg.
+                # up on this alg. This alg's LAST failure was not an
+                # outage — it must not be reported as "lost purely to
+                # device outage" even if an earlier attempt was.
+                outage_only.discard(alg)
                 if attempts[alg] < 2:
                     log(f"[{alg}] post-init failure; retrying once...")
                     attempts[alg] += 1

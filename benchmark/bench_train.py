@@ -80,7 +80,17 @@ def run_config(name, nodes, deg, in_feat, hidden, classes, model_kind,
         from dgsparse_tpu import SparseTensor
 
         rowptr, col = clustered_graph(nodes, nodes, deg, seed=0)
-        old_deg = np.diff(rowptr)
+        # fill_diag SETS the diagonal (dgsparse/nn/gcnconv.py): drop any
+        # generator-emitted (r,r) entries first, else ~1/194 of rows get
+        # a doubled diagonal after the append below
+        rows64 = np.repeat(np.arange(nodes, dtype=np.int64),
+                           np.diff(rowptr))
+        keep = col.astype(np.int64) != rows64
+        col = col[keep]
+        old_deg = np.bincount(rows64[keep], minlength=nodes)
+        rowptr = np.zeros(nodes + 1, np.int64)
+        np.cumsum(old_deg, out=rowptr[1:])
+        del keep
         # vectorized self-loop insertion at the end of each row: old entry
         # at flat position p in row r moves to p + r; the loop for row r
         # lands at rowptr[r+1] + r (two writes over nnz + nodes elements)

@@ -300,13 +300,17 @@ def gspmm(sparse: SparseTensor, dense: jax.Array, reduce="sum",
             return (base + e_row if compute == ComputeOp.ADD
                     else base - e_row)
         # MAX / MIN
+        from dgsparse_tpu.ops.spmm import _ell_maxmin_fits
+
         kind, plan = _layout(sparse)
-        if kind == "ell":
+        if kind == "ell" and _ell_maxmin_fits(plan, dense.shape[-1]):
             return _spmm_slots_mm(reduce, compute,
                                   sparse.sparse_sizes()[1],
                                   _ell_st_idx(sparse.storage, plan),
                                   sv.ell, dense)
-        # hybrid: one edge-order assembly, then the edge-order semiring
+        # hybrid (max not tierwise-decomposable) or over the winner-buffer
+        # budget (the slot backward cannot row-chunk): one edge-order
+        # assembly, then the edge-order semiring
         return gspmm(sparse.set_values(slots_to_edges(sparse, sv)),
                      dense, reduce, compute)
     from dgsparse_tpu.utils.debug import maybe_validate

@@ -279,8 +279,7 @@ def sddmm_slots(sparse: SparseTensor, d1: jax.Array,
             gmap = valid = None
         st_idx = (plan, gmap, valid)
     else:
-        st_idx = (plan, st.col(), st.coo_row(), st.plan(transpose=True),
-                  st.mm_comp(), st.csr2csc(), st.row(), st.csc_col())
+        st_idx = _ell_st_idx(st, plan)
     return _sddmm_slots(kind, sparse.sparse_sizes()[1], st_idx, d1, d2)
 
 
@@ -659,9 +658,16 @@ def spmm_slots(sparse: SparseTensor, sv: SlotValues, x: jax.Array,
     kind, plan = _layout(sparse)
     st = sparse.storage
     if reduce in (ReduceOp.MAX, ReduceOp.MIN):
-        if kind == "hybrid":
-            from dgsparse_tpu.ops.spmm import spmm as _spmm_edge
+        from dgsparse_tpu.ops.spmm import _ell_maxmin_fits
+        from dgsparse_tpu.ops.spmm import spmm as _spmm_edge
 
+        if kind == "hybrid" or not _ell_maxmin_fits(plan, x.shape[-1]):
+            # hybrid (max is not tierwise-decomposable) OR a plan whose
+            # [slots, F] winner buffers exceed the backward's budget
+            # (they cannot row-chunk — same gate as the edge-order op,
+            # ops/spmm._ell_maxmin_fits): pay the one edge-order
+            # assembly gather and ride the edge-chunk-safe masked
+            # backward.
             return _spmm_edge(sparse.set_values(slots_to_edges(sparse, sv)),
                               x, reduce)
         from dgsparse_tpu.ops.types import ComputeOp
@@ -679,8 +685,7 @@ def spmm_slots(sparse: SparseTensor, sv: SlotValues, x: jax.Array,
         st_idx = (plan, gmap, valid)
     else:
         mult = jnp.zeros((0, 1, 1), jnp.float32)
-        st_idx = (plan, st.col(), st.coo_row(), st.plan(transpose=True),
-                  st.mm_comp(), st.csr2csc(), st.row(), st.csc_col())
+        st_idx = _ell_st_idx(st, plan)
     out = _spmm_slots(kind, sparse.sparse_sizes()[1], st_idx, sv, x, mult)
     if reduce == ReduceOp.MEAN:
         rowptr = st.rowptr()

@@ -346,6 +346,64 @@ def test_gspmm_slot_order_grads(compute):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("compute", ["add", "sub", "mul", "div"])
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_gspmm_slot_order_maxmin_grads(compute, reduce):
+    """Gradient coverage for the MAX/MIN x {ADD,SUB,MUL,DIV} branches of
+    the slot-order semiring backward (_spmm_slots_mm_b) — each d_v/d_x
+    derivative branch vs the edge-order backward on the same loss."""
+    from dgsparse_tpu import gspmm
+
+    sp, rowptr, col, d1, d2 = make_ell(47)
+    v = _edge_values(sp, rowptr, 53, positive=True)
+    x = jnp.asarray(d2)
+    rng = np.random.default_rng(59)
+    ct = jnp.asarray(rng.standard_normal(
+        (sp.sparse_sizes()[0], x.shape[1])).astype(np.float32))
+
+    def loss_slot(v, x):
+        return jnp.vdot(
+            gspmm(sp, x, reduce, compute, values=edges_to_slots(sp, v)),
+            ct)
+
+    def loss_edge(v, x):
+        return jnp.vdot(gspmm(sp.set_values(v), x, reduce, compute), ct)
+
+    gs = jax.grad(loss_slot, argnums=(0, 1))(v, x)
+    ge = jax.grad(loss_edge, argnums=(0, 1))(v, x)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(ge[0]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(ge[1]),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_spmm_slots_maxmin_size_gate_fallback(reduce, monkeypatch):
+    """Over the winner-buffer budget, slot max/min must route through the
+    edge-order assembly (the slot backward cannot row-chunk) and stay
+    exact for fwd AND grads."""
+    import dgsparse_tpu.ops.slot as slot_mod
+    import dgsparse_tpu.ops.spmm as spmm_mod
+
+    monkeypatch.setattr(spmm_mod, "_ell_maxmin_fits",
+                        lambda plan, f: False)
+    sp, rowptr, col, d1, d2 = make_ell(61)
+    v = _edge_values(sp, rowptr, 67)
+    x = jnp.asarray(d2)
+    sv = edges_to_slots(sp, v)
+    got = np.asarray(slot_mod.spmm_slots(sp, sv, x, reduce))
+    ref = np.asarray(spmm(sp.set_values(v), x, reduce))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    rng = np.random.default_rng(71)
+    ct = jnp.asarray(rng.standard_normal(got.shape).astype(np.float32))
+    g = jax.grad(lambda x: jnp.vdot(
+        slot_mod.spmm_slots(sp, sv, x, reduce), ct))(x)
+    ge = jax.grad(lambda x: jnp.vdot(
+        spmm(sp.set_values(v), x, reduce), ct))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ge),
+                               rtol=1e-3, atol=1e-3)
+
+
 @pytest.mark.parametrize("reduce", ["max", "min"])
 def test_spmm_multihead_slot_order_maxmin(reduce):
     from dgsparse_tpu import spmm_multihead
