@@ -255,7 +255,7 @@ def main():
     results = []
     failures = {}        # alg -> list of failure causes
     outage_only = set()  # algs whose every failure was backend-init
-    queue = [("PALLAS_ROW_TILE", 420),
+    queue = [("PALLAS_ROW_TILE", 540),  # times TWO lane-pack variants
              ("PALLAS_EDGE_TILE", 360),
              ("XLA_SEGMENT", 240)]
     attempts = {alg: 0 for alg, _ in queue}
